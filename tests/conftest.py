@@ -1,0 +1,13 @@
+"""Test configuration: force the CPU backend with 8 virtual devices so
+mesh/collective logic (DP grad reductions, codebook EMA psum, TP shardings)
+is exercised without a TPU pod (SURVEY.md §4 multi-device strategy)."""
+
+import os
+
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+)
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

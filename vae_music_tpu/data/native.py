@@ -1,0 +1,87 @@
+"""ctypes bindings to the native (C++) data-loading runtime.
+
+The reference delegates audio IO to librosa on the Python side
+(/root/reference/data_utils.py:43-48); here the hot host-side path (WAV/AU
+decode, resample, window segmentation) is a small C++ library
+(runtime/audio_loader.cc) so the input pipeline never bottlenecks the TPU.
+Falls back to pure numpy when the shared library hasn't been built.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import wave
+from typing import Optional, Tuple
+
+import numpy as np
+
+_LIB_PATHS = [
+    os.path.join(os.path.dirname(__file__), "..", "..", "runtime", "build", "libaudio_loader.so"),
+    os.path.join(os.path.dirname(__file__), "_native", "libaudio_loader.so"),
+]
+
+_lib = None
+_lib_checked = False
+
+
+def _load_lib() -> Optional[ctypes.CDLL]:
+    global _lib, _lib_checked
+    if _lib_checked:
+        return _lib
+    _lib_checked = True
+    for p in _LIB_PATHS:
+        p = os.path.abspath(p)
+        if os.path.exists(p):
+            try:
+                lib = ctypes.CDLL(p)
+                lib.vmt_load_wav.restype = ctypes.c_int
+                lib.vmt_load_wav.argtypes = [
+                    ctypes.c_char_p,                      # path
+                    ctypes.POINTER(ctypes.c_float),       # out buffer
+                    ctypes.c_long,                        # out capacity (samples)
+                    ctypes.POINTER(ctypes.c_long),        # out length
+                    ctypes.POINTER(ctypes.c_int),         # out sample rate
+                ]
+                _lib = lib
+                break
+            except OSError:
+                continue
+    return _lib
+
+
+def available() -> bool:
+    return _load_lib() is not None
+
+
+def load_wav(path: str) -> Tuple[np.ndarray, int]:
+    """Decode a WAV file to mono float32. Returns (samples, sample_rate)."""
+    lib = _load_lib()
+    if lib is not None:
+        cap = os.path.getsize(path)  # bytes >= samples for 16-bit audio
+        buf = np.empty(cap, dtype=np.float32)
+        out_len = ctypes.c_long(0)
+        out_sr = ctypes.c_int(0)
+        rc = lib.vmt_load_wav(
+            path.encode(), buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            ctypes.c_long(cap), ctypes.byref(out_len), ctypes.byref(out_sr),
+        )
+        if rc == 0:
+            return buf[: out_len.value].copy(), out_sr.value
+    # numpy fallback
+    with wave.open(path, "rb") as f:
+        sr = f.getframerate()
+        n = f.getnframes()
+        width = f.getsampwidth()
+        raw = f.readframes(n)
+        if width == 2:
+            x = np.frombuffer(raw, dtype=np.int16).astype(np.float32) / 32768.0
+        elif width == 1:
+            x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+        elif width == 4:
+            x = np.frombuffer(raw, dtype=np.int32).astype(np.float32) / 2147483648.0
+        else:
+            raise ValueError(f"unsupported sample width {width}")
+        if f.getnchannels() > 1:
+            x = x.reshape(-1, f.getnchannels()).mean(axis=1)
+    return x, sr

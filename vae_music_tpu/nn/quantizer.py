@@ -1,0 +1,140 @@
+"""EMA vector-quantizer bottleneck as a pure function over explicit state.
+
+Semantics mirror /root/reference/VectorQuantizer.py:
+  * codebook ``embeddings`` of shape (D, K), non-trainable (:38-44)
+  * nearest-neighbour by expanded L2 ``|z|^2 + |e|^2 - 2 z.e`` + argmin (:170-186)
+  * commitment loss ``beta * mean((sg(q) - z)^2)``, beta=0.25 (:97-107)
+  * straight-through estimator ``q = z + sg(q - z)`` (:114)
+  * EMA updates of cluster sums ``m_t`` and counts ``N_t`` with gamma=0.99 (:123-131)
+  * dead-code restart: codes with running count < threshold are re-seeded from
+    random (tiled+shuffled) encoder outputs of the current batch (:133-145)
+  * health metrics: batch usage, running usage, batch code entropy (:149-159)
+
+TPU-first design: the TF version mutates ``tf.Variable``s inside the forward
+pass under the gradient tape; here the state is an explicit pytree threaded
+through the train step, so the update is visible to XLA, trivially
+checkpointable, and — under a GSPMD-sharded train step — the batch statistics
+``m_t_``/``N_t_`` are *global* reductions (XLA inserts the cross-replica psum),
+which is the multi-device codebook-sync requirement called out in SURVEY.md §2.2.
+
+The distance+argmin hot path dispatches to a fused Pallas kernel on TPU
+(vae_music_tpu.ops.vq_pallas) with this jnp implementation as fallback/reference.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+class CodebookState(NamedTuple):
+    embeddings: jnp.ndarray  # (D, K) codebook, column per code
+    m_t: jnp.ndarray         # (D, K) EMA cluster sums
+    N_t: jnp.ndarray         # (K,)  EMA cluster counts
+
+
+class VQOutput(NamedTuple):
+    quantized: jnp.ndarray        # (..., D) straight-through quantized latents
+    codes: jnp.ndarray            # (...,) int32 code indices
+    commitment_loss: jnp.ndarray  # scalar
+    state: CodebookState          # updated (or passthrough) codebook state
+    metrics: dict                 # usage/entropy health metrics
+
+
+def init_codebook(rng: jax.Array, embedding_dim: int, num_embeddings: int) -> CodebookState:
+    # tf.random_uniform_initializer() default range (VectorQuantizer.py:25).
+    emb = jax.random.uniform(rng, (embedding_dim, num_embeddings),
+                             minval=-0.05, maxval=0.05, dtype=jnp.float32)
+    # m_t starts as a *copy* of the codebook (VectorQuantizer.py:48-51); a
+    # distinct buffer so whole-state donation in jitted steps stays legal.
+    return CodebookState(embeddings=emb, m_t=emb + 0.0,
+                         N_t=jnp.ones((num_embeddings,), jnp.float32))
+
+
+def nearest_code(flat: jnp.ndarray, embeddings: jnp.ndarray) -> jnp.ndarray:
+    """(N, D), (D, K) -> (N,) int32 argmin_k ||z_n - e_k||^2.
+
+    One MXU matmul; the |z|^2 term is constant in k and omitted from the argmin.
+    """
+    similarity = jnp.dot(flat, embeddings, preferred_element_type=jnp.float32)
+    distances = jnp.sum(jnp.square(embeddings), axis=0)[None, :] - 2.0 * similarity
+    return jnp.argmin(distances, axis=1).astype(jnp.int32)
+
+
+def codebook_lookup(codes: jnp.ndarray, embeddings: jnp.ndarray) -> jnp.ndarray:
+    """(...,) int codes, (D, K) -> (..., D) embeddings (vqvae.py:246-248)."""
+    return jnp.take(embeddings.T, codes, axis=0)
+
+
+def _restart_candidates(rng: jax.Array, flat: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Random batch vectors for dead-code restart: tile (if N<K) then shuffle,
+    take K (VectorQuantizer.py:135-137,191-198). Returns (D, K)."""
+    n = flat.shape[0]
+    if n < k:
+        reps = (k + n - 1) // n
+        flat = jnp.tile(flat, (reps, 1))
+        n = flat.shape[0]
+    perm = jax.random.permutation(rng, n)[:k]
+    return jnp.take(flat, perm, axis=0).T
+
+
+def quantize(
+    state: CodebookState,
+    z_e: jnp.ndarray,
+    *,
+    beta: float = 0.25,
+    decay: float = 0.99,
+    usage_threshold: float = 1.0,
+    train: bool = True,
+    rng: Optional[jax.Array] = None,
+) -> VQOutput:
+    """Quantize encoder outputs ``z_e`` of shape (..., D).
+
+    When ``train`` is True, also computes the EMA codebook update and the
+    dead-code restart (requires ``rng``), returning the new state.
+    """
+    d, k = state.embeddings.shape
+    orig_shape = z_e.shape
+    flat = z_e.reshape(-1, d).astype(jnp.float32)
+
+    codes = nearest_code(flat, state.embeddings)
+    quantized = codebook_lookup(codes, state.embeddings)
+
+    commitment = beta * jnp.mean(jnp.square(jax.lax.stop_gradient(quantized) - flat))
+    # Straight-through: gradients of `quantized` copy to the encoder output.
+    quantized_st = flat + jax.lax.stop_gradient(quantized - flat)
+
+    metrics: dict = {}
+    new_state = state
+    if train:
+        assert rng is not None, "training quantize() needs an rng for dead-code restart"
+        onehot = jax.nn.one_hot(codes, k, dtype=jnp.float32)  # (N, K)
+        # Batch cluster statistics — global sums under a sharded train step.
+        m_t_batch = jnp.dot(flat.T, onehot, preferred_element_type=jnp.float32)  # (D, K)
+        n_t_batch = jnp.sum(onehot, axis=0)                                      # (K,)
+
+        m_t = decay * state.m_t + (1.0 - decay) * jax.lax.stop_gradient(m_t_batch)
+        n_t = decay * state.N_t + (1.0 - decay) * n_t_batch
+
+        usage = (n_t >= usage_threshold).astype(jnp.float32)[None, :]  # (1, K)
+        random_codes = _restart_candidates(rng, jax.lax.stop_gradient(flat), k)
+        embeddings = (usage * (m_t / jnp.clip(n_t, 1e-8, 1e8)[None, :])
+                      + (1.0 - usage) * random_codes)
+        new_state = CodebookState(embeddings=embeddings, m_t=m_t, N_t=n_t)
+
+        code_prob = n_t_batch / jnp.sum(n_t_batch)
+        metrics = {
+            "batch_codebook_usage": jnp.sum((n_t_batch >= usage_threshold).astype(jnp.float32)),
+            "codebook_usage": jnp.sum((n_t >= usage_threshold).astype(jnp.float32)),
+            "codebook_entropy": -jnp.sum(code_prob * jnp.log(code_prob + 1e-8)),
+        }
+
+    return VQOutput(
+        quantized=quantized_st.reshape(orig_shape).astype(z_e.dtype),
+        codes=codes.reshape(orig_shape[:-1]),
+        commitment_loss=commitment,
+        state=new_state,
+        metrics=metrics,
+    )

@@ -1,0 +1,2 @@
+from vae_music_tpu.train.state import VQVAETrainState, PriorTrainState
+from vae_music_tpu.train.vqvae_step import make_vqvae_train_step, make_vqvae_eval_step

@@ -1,0 +1,50 @@
+"""Jitted VQ-VAE train/eval steps.
+
+Functional equivalent of /root/reference/vqvae.py:111-172: per level forward ->
+(recon MSE + multiscale spectral + commitment) summed over levels, one gradient
+over all levels' conv params.  The EMA codebook update (a side-effecting
+``Variable.assign`` in TF, VectorQuantizer.py:128-145) is returned as new state.
+
+The step is written over the *global* batch; with a sharded batch
+(NamedSharding over the 'data' axis) XLA turns the loss/grad/EMA reductions
+into ICI collectives — no explicit psum code.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from vae_music_tpu.configs import VQVAEConfig
+from vae_music_tpu.models.vqvae import vqvae_apply
+from vae_music_tpu.train.state import VQVAETrainState
+
+
+def make_vqvae_train_step(cfg: VQVAEConfig, donate: bool = True):
+    def train_step(state: VQVAETrainState, batch: jnp.ndarray, rng: jax.Array):
+        """batch: (N, T, C) waveforms. Returns (new_state, metrics)."""
+        step_rng = jax.random.fold_in(rng, state.step)
+
+        def loss_fn(params):
+            _recons, total, new_codebooks, metrics = vqvae_apply(
+                params, state.codebooks, cfg, batch, train=True, rng=step_rng)
+            return total, (new_codebooks, metrics)
+
+        grads, (new_codebooks, metrics) = jax.grad(loss_fn, has_aux=True)(state.params)
+        updates, new_opt_state = state.tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(step=state.step + 1, params=new_params,
+                                  opt_state=new_opt_state, codebooks=new_codebooks)
+        return new_state, metrics
+
+    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+
+
+def make_vqvae_eval_step(cfg: VQVAEConfig):
+    def eval_step(state: VQVAETrainState, batch: jnp.ndarray):
+        _recons, _total, _cbs, metrics = vqvae_apply(
+            state.params, state.codebooks, cfg, batch, train=False)
+        return metrics
+
+    return jax.jit(eval_step)
