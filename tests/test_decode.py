@@ -1,0 +1,122 @@
+"""KV-cached decode correctness — the framework's central invariant.
+
+The decode-step-with-cache must reproduce the full-sequence forward exactly
+(the TPU version of factorized_attention.py:446-462's incremental==batch test,
+called out as the most important test to carry over in SURVEY.md §4.2)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vae_music_tpu.configs import ConditionerConfig, PriorConfig, SamplerConfig, VQVAEConfig
+from vae_music_tpu.models.prior import FMHAPrior, build_fmha_prior, level_spec
+from vae_music_tpu.sample.decode import SampleMode, make_decode_fn, sample_token
+from vae_music_tpu.sample.sampler import AncestralSampler
+from vae_music_tpu.train.prior_step import init_prior
+
+
+def _vqvae_cfg():
+    return VQVAEConfig(
+        sample_length=1024, levels=2, latent_dim=8, codebook_size=16,
+        down_depth=(3, 2), strides=(2, 2), residual_width=8, residual_depth=2,
+        dilation_factor=3, use_spectral_loss=False,
+    ).validate()
+
+
+def _prior_cfg(level, cond=False, **kw):
+    kw.setdefault("attn_stacks", 1)
+    return PriorConfig(
+        level=level, levels=2, bins=17, width=32, depth=3, heads=2, blocks=4,
+        dropout=0.0, genre_classes=10,
+        conditioner=ConditionerConfig(residual_depth=2) if cond else None, **kw)
+
+
+@pytest.mark.parametrize("level,cond,attn_stacks", [
+    (1, False, 1),   # top prior, row/col/prev_row schedule
+    (0, True, 1),    # upsampler with x_cond
+    (1, False, 0),   # row/col schedule
+])
+def test_decode_logits_equal_full_forward(level, cond, attn_stacks):
+    vcfg = _vqvae_cfg()
+    pcfg = _prior_cfg(level, cond, attn_stacks=attn_stacks)
+    model, params = init_prior(jax.random.PRNGKey(1), vcfg, pcfg)
+    spec = level_spec(vcfg, level)
+    n = 3
+    dec = make_decode_fn(pcfg, spec.ctx_len, n, mode=SampleMode.GREEDY,
+                         return_logits=True)
+    y_cond = model.apply(params, jnp.array([1, 2, 3]), method=FMHAPrior.embed_labels)
+    x_cond_stream = None
+    if cond:
+        z_cond = jax.random.randint(jax.random.PRNGKey(3), (n, spec.cond_length), 0, 16)
+        x_cond_stream = model.apply(params, z_cond, method=FMHAPrior.upsample_cond)
+
+    tokens, dec_logits = dec(params, jax.random.PRNGKey(2), x_cond_stream, y_cond)
+    assert tokens.shape == (n, spec.ctx_len + 1)
+    assert int(tokens[0, 0]) == pcfg.bins - 1  # start token
+
+    full_logits, _ = model.apply(params, tokens[:, :-1], x_cond_stream, y_cond)
+    np.testing.assert_allclose(np.asarray(dec_logits), np.asarray(full_logits),
+                               rtol=1e-4, atol=2e-4)
+    # Greedy decode must be self-consistent with the full forward.
+    np.testing.assert_array_equal(np.asarray(jnp.argmax(full_logits, -1)),
+                                  np.asarray(tokens[:, 1:]))
+
+
+def test_decode_without_conditioning():
+    vcfg = _vqvae_cfg()
+    pcfg = _prior_cfg(1, genre_classes=None) if False else _prior_cfg(1)
+    model, params = init_prior(jax.random.PRNGKey(1), vcfg, pcfg)
+    spec = level_spec(vcfg, 1)
+    dec = make_decode_fn(pcfg, spec.ctx_len, 2, mode=SampleMode.GREEDY,
+                         return_logits=True)
+    tokens, dec_logits = dec(params, jax.random.PRNGKey(2), None, None)
+    full_logits, _ = model.apply(params, tokens[:, :-1])
+    np.testing.assert_allclose(np.asarray(dec_logits), np.asarray(full_logits),
+                               rtol=1e-4, atol=2e-4)
+
+
+def test_gumbel_sampling_matches_categorical_distribution():
+    """Gumbel-max sampling == categorical (the reference's
+    RelaxedOneHotCategorical(1)+argmax, autoregressive_fmha.py:217-221)."""
+    logits = jnp.log(jnp.array([[0.7, 0.2, 0.1]]))
+    draws = []
+    for i in range(2000):
+        t = sample_token(jax.random.PRNGKey(i), logits, SampleMode.GUMBEL)
+        draws.append(int(t[0]))
+    freq = np.bincount(draws, minlength=3) / len(draws)
+    np.testing.assert_allclose(freq, [0.7, 0.2, 0.1], atol=0.04)
+
+
+def test_top_k_restricts_support():
+    logits = jnp.array([[0.0, 5.0, 4.0, -2.0]])
+    for i in range(50):
+        t = sample_token(jax.random.PRNGKey(i), logits, SampleMode.TOP_K, top_k=2)
+        assert int(t[0]) in (1, 2)
+
+
+def test_ancestral_sampler_chain():
+    """Sampler.py:122-136 — 2-level ancestral sampling with and without labels."""
+    vcfg = _vqvae_cfg()
+    scfg = SamplerConfig(vqvae=vcfg, prior_width=32, prior_depth=3, prior_heads=2,
+                         prior_blocks=4, genre_classes=10,
+                         conditioner=ConditionerConfig(residual_depth=2))
+    sampler = AncestralSampler.from_config(scfg, jax.random.PRNGKey(0))
+    zs = sampler.sample_codes(3, jax.random.PRNGKey(1), y_genre=jnp.array([0, 1, 2]))
+    assert [z.shape for z in zs] == [(3, 128), (3, 32)]
+    assert all(int(z.min()) >= 0 and int(z.max()) <= 16 for z in zs)
+    wav = sampler.sample_audio(3, jax.random.PRNGKey(2), y_genre=jnp.array([0, 1, 2]))
+    assert wav.shape == (3, vcfg.sample_length, 1)
+    wav2 = sampler.sample_audio(2, jax.random.PRNGKey(3))  # no labels
+    assert wav2.shape == (2, vcfg.sample_length, 1)
+
+
+def test_sampler_determinism_per_seed():
+    vcfg = _vqvae_cfg()
+    scfg = SamplerConfig(vqvae=vcfg, prior_width=32, prior_depth=3, prior_heads=2,
+                         prior_blocks=4, conditioner=ConditionerConfig(residual_depth=2))
+    sampler = AncestralSampler.from_config(scfg, jax.random.PRNGKey(0))
+    z1 = sampler.sample_codes(2, jax.random.PRNGKey(7))
+    z2 = sampler.sample_codes(2, jax.random.PRNGKey(7))
+    for a, b in zip(z1, z2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

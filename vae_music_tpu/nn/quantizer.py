@@ -64,8 +64,12 @@ def nearest_code(flat: jnp.ndarray, embeddings: jnp.ndarray) -> jnp.ndarray:
 
 
 def codebook_lookup(codes: jnp.ndarray, embeddings: jnp.ndarray) -> jnp.ndarray:
-    """(...,) int codes, (D, K) -> (..., D) embeddings (vqvae.py:246-248)."""
-    return jnp.take(embeddings.T, codes, axis=0)
+    """(...,) int codes, (D, K) -> (..., D) embeddings (vqvae.py:246-248).
+
+    Out-of-range codes (e.g. a sampled start token, id K) map to the zero
+    vector — the behaviour of the reference's ``one_hot(zq, K) @ E^T``.
+    """
+    return jnp.take(embeddings.T, codes, axis=0, mode="fill", fill_value=0.0)
 
 
 def _restart_candidates(rng: jax.Array, flat: jnp.ndarray, k: int) -> jnp.ndarray:

@@ -1,0 +1,2 @@
+from vae_music_tpu.sample.decode import make_decode_fn, SampleMode
+from vae_music_tpu.sample.sampler import AncestralSampler

@@ -1,0 +1,205 @@
+"""KV-cached autoregressive token decode — the headline TPU rewrite.
+
+The reference samples by re-running the ENTIRE transformer on the whole
+prefix for every token (O(T^2 * depth) total work, no KV cache — the TODO at
+/root/reference/src/autoregressive/autoregressive_fmha.py:199-203).  Here the
+decode is a single jitted ``lax.scan`` over positions with per-pattern
+HBM-resident KV caches, O(T * (block_len + blocks) * depth):
+
+  position t, block b = t // block_len, offset i = t % block_len
+  * row      : attends cache[b*l : b*l+l] masked to offsets <= i
+  * col      : attends column i of every block 0..b (strided cache view)
+  * prev_row : attends cache[(b-1)*l : b*l], zero output for b == 0
+
+The causal QKV Conv1D(k=3) needs only the last two layer inputs, kept in a
+tiny rolling cache.  Everything is static-shaped; one compile per
+(ctx_len, batch) pair.
+
+Correctness contract (the reference's key invariant,
+factorized_attention.py:446-462): each decode step's hidden state/logits must
+equal the full-sequence forward at that position — enforced by
+tests/test_decode.py.
+
+Sampling mode default is Gumbel-max categorical, mathematically identical to
+the reference's ``RelaxedOneHotCategorical(temp=1).sample() -> argmax``
+(autoregressive_fmha.py:217-221); greedy / temperature / top-k also provided.
+"""
+
+from __future__ import annotations
+
+import enum
+import math
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from vae_music_tpu.configs import PriorConfig
+
+
+class SampleMode(enum.Enum):
+    GUMBEL = "gumbel"      # categorical via Gumbel-max (reference default)
+    GREEDY = "greedy"
+    TOP_K = "top_k"
+
+
+def _layernorm(x, scale, bias, eps=1e-6):
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    return (y * scale + bias).astype(x.dtype)
+
+
+def _attend_single(q, k, v, mask=None):
+    """q: (N,H,hd); k,v: (N,L,H,hd); mask: (L,) or (N? no) keep-mask.
+
+    Returns (N,H,hd).  Matches masked_mha numerics (f32 softmax, -1e9 mask).
+    """
+    hd = q.shape[-1]
+    logits = jnp.einsum("nhd,nlhd->nhl", q, k,
+                        preferred_element_type=jnp.float32) / math.sqrt(hd)
+    if mask is not None:
+        logits = jnp.where(mask[None, None, :], logits, jnp.float32(-1e9))
+    w = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    return jnp.einsum("nhl,nlhd->nhd", w.astype(v.dtype), v)
+
+
+def sample_token(rng: jax.Array, logits: jnp.ndarray, mode: SampleMode,
+                 temperature: float = 1.0, top_k: int = 0) -> jnp.ndarray:
+    """(N, bins) logits -> (N,) int32 tokens."""
+    if mode == SampleMode.GREEDY:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    logits = logits / jnp.float32(max(temperature, 1e-6))
+    if mode == SampleMode.TOP_K and top_k > 0:
+        kth = jnp.sort(logits, axis=-1)[:, -top_k][:, None]
+        logits = jnp.where(logits < kth, -1e9, logits)
+    return jax.random.categorical(rng, logits, axis=-1).astype(jnp.int32)
+
+
+def make_decode_fn(
+    cfg: PriorConfig,
+    ctx_len: int,
+    n_samples: int,
+    *,
+    mode: SampleMode = SampleMode.GUMBEL,
+    temperature: float = 1.0,
+    top_k: int = 0,
+    return_logits: bool = False,
+):
+    """Build a jitted sampler for one prior level.
+
+    Returned fn signature:
+        decode(params, rng, x_cond_stream=None, y_cond=None) -> tokens (N, ctx_len+1)
+    where ``x_cond_stream`` is the ALREADY-UPSAMPLED conditioning stream
+    (N, ctx_len, width) (autoregressive_fmha.py:180-189 upsamples once before
+    the token loop) and ``y_cond`` is the (N, 1, width) label embedding.
+    Output includes the leading start token (strip with [:, 1:], Sampler.py:105).
+    """
+    width = cfg.width
+    heads = cfg.heads
+    attn_w = cfg.attn_width
+    hd = attn_w // heads
+    depth = cfg.depth
+    blocks = cfg.blocks
+    assert ctx_len % blocks == 0
+    block_len = ctx_len // blocks
+    start_token = cfg.bins - 1
+    sqrt_d = math.sqrt(float(width))
+
+    def decode(params, rng, x_cond_stream=None, y_cond=None):
+        p = params["params"]
+        emb = p["x_embedding"]["embedding"]            # (bins, width)
+        if cfg.pos_emb:
+            pos = p["x_pos_embedding"]["embeddings"]   # (>=ctx_len, width)
+        else:
+            from vae_music_tpu.nn.positional import sinusoidal_encoding
+
+            pos = sinusoidal_encoding(ctx_len, width)[0]
+        layers = [p["transformer"][f"layer_{i}"] for i in range(depth)]
+        out_k, out_b = p["out"]["kernel"], p["out"]["bias"]
+
+        k_cache0 = jnp.zeros((depth, n_samples, ctx_len, heads, hd), jnp.float32)
+        v_cache0 = jnp.zeros_like(k_cache0)
+        u_cache0 = jnp.zeros((depth, n_samples, 2, width), jnp.float32)
+
+        def layer_step(li, lp, x, t, b, i, k_cache, v_cache, u_cache):
+            """One residual attn block at position t. x: (N, width)."""
+            f = lp["fmha"]
+            u = _layernorm(x, lp["ln1"]["scale"], lp["ln1"]["bias"])
+            # Causal conv k=3 from the rolling u-cache (zeros before t=0).
+            w_conv = f["qkv_conv"]["kernel"]           # (3, width, 3*attn_w)
+            qkv = (u_cache[li, :, 0] @ w_conv[0]
+                   + u_cache[li, :, 1] @ w_conv[1]
+                   + u @ w_conv[2] + f["qkv_conv"]["bias"])
+            u_cache = u_cache.at[li].set(
+                jnp.stack([u_cache[li, :, 1], u], axis=1))
+            q, k, v = jnp.split(qkv, 3, axis=-1)       # (N, attn_w) each
+            q = jnp.einsum("nw,whd->nhd", q, f["q_proj"]["kernel"]) + f["q_proj"]["bias"]
+            k = jnp.einsum("nw,whd->nhd", k, f["k_proj"]["kernel"]) + f["k_proj"]["bias"]
+            v = jnp.einsum("nw,whd->nhd", v, f["v_proj"]["kernel"]) + f["v_proj"]["bias"]
+
+            k_cache = jax.lax.dynamic_update_slice(
+                k_cache, k[None, :, None], (li, 0, t, 0, 0))
+            v_cache = jax.lax.dynamic_update_slice(
+                v_cache, v[None, :, None], (li, 0, t, 0, 0))
+
+            pattern = cfg.attn_pattern(li)
+            kc, vc = k_cache[li], v_cache[li]          # (N, ctx_len, H, hd)
+            if pattern == 0:  # row: current block, offsets <= i
+                ks = jax.lax.dynamic_slice_in_dim(kc, b * block_len, block_len, axis=1)
+                vs = jax.lax.dynamic_slice_in_dim(vc, b * block_len, block_len, axis=1)
+                mask = jnp.arange(block_len) <= i
+                attn = _attend_single(q, ks, vs, mask)
+            elif pattern == 1:  # col: offset i of blocks <= b
+                kg = kc.reshape(n_samples, blocks, block_len, heads, hd)
+                vg = vc.reshape(n_samples, blocks, block_len, heads, hd)
+                ks = jax.lax.dynamic_slice_in_dim(kg, i, 1, axis=2)[:, :, 0]
+                vs = jax.lax.dynamic_slice_in_dim(vg, i, 1, axis=2)[:, :, 0]
+                mask = jnp.arange(blocks) <= b
+                attn = _attend_single(q, ks, vs, mask)
+            else:  # prev_row: whole previous block (zero output at b == 0)
+                start = jnp.maximum(b - 1, 0) * block_len
+                ks = jax.lax.dynamic_slice_in_dim(kc, start, block_len, axis=1)
+                vs = jax.lax.dynamic_slice_in_dim(vc, start, block_len, axis=1)
+                attn = _attend_single(q, ks, vs, None)
+                attn = attn * (b > 0).astype(attn.dtype)
+
+            o = jnp.einsum("nhd,hdw->nw", attn, f["o_proj"]["kernel"]) + f["o_proj"]["bias"]
+            res1 = o @ f["proj"]["kernel"] + f["proj"]["bias"]
+            h = _layernorm(x + res1, lp["ln2"]["scale"], lp["ln2"]["bias"])
+            res2 = h @ lp["mlp"]["kernel"] + lp["mlp"]["bias"]
+            return res2 + res1 + x, k_cache, v_cache, u_cache
+
+        def scan_step(carry, t):
+            token, k_cache, v_cache, u_cache, step_rng = carry
+            b = t // block_len
+            i = t % block_len
+            x = jnp.take(emb, token, axis=0)           # (N, width)
+            if y_cond is not None:
+                x = jnp.where(t == 0, y_cond[:, 0].astype(x.dtype), x)
+            x = x * sqrt_d
+            x = x + jax.lax.dynamic_slice_in_dim(pos, t, 1, axis=0)[0]
+            if x_cond_stream is not None:
+                x = x + jax.lax.dynamic_slice_in_dim(x_cond_stream, t, 1, axis=1)[:, 0]
+            for li, lp in enumerate(layers):
+                x, k_cache, v_cache, u_cache = layer_step(
+                    li, lp, x, t, b, i, k_cache, v_cache, u_cache)
+            logits = x @ out_k + out_b                 # (N, bins)
+            step_rng, sub = jax.random.split(step_rng)
+            next_token = sample_token(sub, logits, mode, temperature, top_k)
+            out = (next_token, logits) if return_logits else next_token
+            return (next_token, k_cache, v_cache, u_cache, step_rng), out
+
+        token0 = jnp.full((n_samples,), start_token, jnp.int32)
+        carry0 = (token0, k_cache0, v_cache0, u_cache0, rng)
+        _, outs = jax.lax.scan(scan_step, carry0, jnp.arange(ctx_len))
+        if return_logits:
+            sampled, logits = outs
+            tokens = jnp.concatenate([token0[:, None], sampled.T], axis=1)
+            return tokens, jnp.transpose(logits, (1, 0, 2))
+        tokens = jnp.concatenate([token0[:, None], outs.T], axis=1)
+        return tokens
+
+    return jax.jit(decode)

@@ -1,0 +1,142 @@
+"""Multi-level ancestral sampler.
+
+Mirror of /root/reference/Sampler.py:10-109: one prior per level (top included),
+sampled top -> bottom; each level's prior conditions on the upper level's
+freshly-sampled codes via ``get_cond`` window slicing, then the bottom-level
+codes are decoded to audio by the VQ-VAE decoder
+(/root/reference/utils/tf_utils.py:184-205 / vqvae.py:253-260).
+
+Unlike the reference (full-prefix recompute per token), every level's token
+loop is the jitted KV-cached ``lax.scan`` decode, and the conditioner
+upsampling runs once per level before the loop.  The whole chain
+(sample top) -> (upsample cond) -> (sample bottom) -> (VQ decode) is a handful
+of jitted calls with all state HBM-resident.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from vae_music_tpu.configs import PriorConfig, SamplerConfig, VQVAEConfig
+from vae_music_tpu.models.prior import FMHAPrior, build_fmha_prior, get_cond, level_spec
+from vae_music_tpu.models.vqvae import vqvae_decode
+from vae_music_tpu.sample.decode import SampleMode, make_decode_fn
+
+
+class AncestralSampler:
+    """Holds per-level prior params + the frozen VQ-VAE, samples audio."""
+
+    def __init__(
+        self,
+        vqvae_cfg: VQVAEConfig,
+        prior_cfgs: Sequence[PriorConfig],      # one per level, index == level
+        prior_params: Sequence,                  # linen variables per level
+        vqvae_params=None,
+        codebooks=None,
+        *,
+        mode: SampleMode = SampleMode.GUMBEL,
+        temperature: float = 1.0,
+        top_k: int = 0,
+    ):
+        assert len(prior_cfgs) == vqvae_cfg.levels
+        self.vqvae_cfg = vqvae_cfg
+        self.prior_cfgs = list(prior_cfgs)
+        self.prior_params = list(prior_params)
+        self.vqvae_params = vqvae_params
+        self.codebooks = codebooks
+        self.levels = vqvae_cfg.levels
+        self.specs = [level_spec(vqvae_cfg, l) for l in range(self.levels)]
+        self.models = [build_fmha_prior(vqvae_cfg, c) for c in self.prior_cfgs]
+        self.mode = mode
+        self.temperature = temperature
+        self.top_k = top_k
+        self._decode_fns: Dict = {}
+        self._cond_fns: Dict = {}
+        self._label_fns: Dict = {}
+
+    @classmethod
+    def from_config(cls, cfg: SamplerConfig, rng: jax.Array, **kw) -> "AncestralSampler":
+        """Fresh (untrained) sampler — the Sampler.py:28-70 construction path."""
+        from vae_music_tpu.models.vqvae import init_vqvae
+        from vae_music_tpu.train.prior_step import init_prior
+
+        v_rng, *p_rngs = jax.random.split(rng, cfg.vqvae.levels + 1)
+        vqvae_params, codebooks = init_vqvae(v_rng, cfg.vqvae)
+        prior_cfgs, prior_params = [], []
+        for level in range(cfg.vqvae.levels):
+            pc = cfg.prior_config(level)
+            _, params = init_prior(p_rngs[level], cfg.vqvae, pc)
+            prior_cfgs.append(pc)
+            prior_params.append(params)
+        return cls(cfg.vqvae, prior_cfgs, prior_params, vqvae_params, codebooks, **kw)
+
+    # -- jitted helpers, cached per (level, batch) ---------------------------
+
+    def _decoder(self, level: int, n_samples: int):
+        key = (level, n_samples)
+        if key not in self._decode_fns:
+            self._decode_fns[key] = make_decode_fn(
+                self.prior_cfgs[level], self.specs[level].ctx_len, n_samples,
+                mode=self.mode, temperature=self.temperature, top_k=self.top_k)
+        return self._decode_fns[key]
+
+    def _cond_upsampler(self, level: int):
+        if level not in self._cond_fns:
+            model = self.models[level]
+            self._cond_fns[level] = jax.jit(
+                lambda p, z: model.apply(p, z, method=FMHAPrior.upsample_cond))
+        return self._cond_fns[level]
+
+    def _label_embedder(self, level: int):
+        if level not in self._label_fns:
+            model = self.models[level]
+            self._label_fns[level] = jax.jit(
+                lambda p, y: model.apply(p, y, method=FMHAPrior.embed_labels))
+        return self._label_fns[level]
+
+    # -- sampling ------------------------------------------------------------
+
+    def sample_codes(
+        self,
+        n_samples: int,
+        rng: jax.Array,
+        y_genre: Optional[jnp.ndarray] = None,
+    ) -> List[jnp.ndarray]:
+        """Top -> bottom ancestral sampling of code grids (Sampler.py:72-109)."""
+        zs: List[Optional[jnp.ndarray]] = [None] * self.levels
+        for level in reversed(range(self.levels)):
+            spec = self.specs[level]
+            rng, step_rng = jax.random.split(rng)
+
+            x_cond_stream = None
+            if spec.cond_downsample_rate is not None:
+                z_cond = get_cond(zs, spec, 0, spec.ctx_len)
+                x_cond_stream = self._cond_upsampler(level)(
+                    self.prior_params[level], z_cond)
+
+            y_cond = None
+            if y_genre is not None and self.prior_cfgs[level].genre_classes is not None:
+                y_cond = self._label_embedder(level)(self.prior_params[level], y_genre)
+
+            tokens = self._decoder(level, n_samples)(
+                self.prior_params[level], step_rng, x_cond_stream, y_cond)
+            # Strip the start token (Sampler.py:105).  A sampled start id
+            # decodes to the zero codebook vector, as in the reference.
+            zs[level] = tokens[:, 1:]
+        return zs  # type: ignore[return-value]
+
+    def sample_audio(
+        self,
+        n_samples: int,
+        rng: jax.Array,
+        y_genre: Optional[jnp.ndarray] = None,
+        decode_level: int = 0,
+    ) -> jnp.ndarray:
+        """Full chain: ancestral codes -> VQ-VAE decode -> waveform (N, T, C)."""
+        assert self.vqvae_params is not None and self.codebooks is not None
+        zs = self.sample_codes(n_samples, rng, y_genre)
+        return vqvae_decode(self.vqvae_params, self.codebooks, self.vqvae_cfg,
+                            zs[decode_level], decode_level)
