@@ -1,0 +1,100 @@
+"""Benchmark harness — prints ONE JSON line with the headline metric.
+
+Headline (from BASELINE.json): end-to-end generation throughput in 1s-clips
+per second per chip — the full ancestral chain (top prior sample -> upsampler
+sample -> VQ-VAE decode) at the flagship FULL_PIPELINE geometry (28672-sample
+clips @ 3 kHz, code contexts 896/112, priors width 128 / depth 6).
+
+``vs_baseline`` compares against the TF/CPU reference measured by
+scripts/measure_tf_baseline.py (baselines/tf_cpu.json) — the same geometry run
+through the reference's own Sampler.py/vqvae.py code.
+
+Also measures codebook-encode throughput (tokens/sec) as a secondary metric
+(reported inside the JSON's "extra" field).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+SAMPLE_RATE = 3000
+
+
+def _load_baseline():
+    path = os.path.join(REPO, "baselines", "tf_cpu.json")
+    if os.path.exists(path):
+        with open(path) as f:
+            return json.load(f)
+    return None
+
+
+def main():
+    from vae_music_tpu.configs import get_config
+    from vae_music_tpu.models.vqvae import vqvae_encode
+    from vae_music_tpu.sample.sampler import AncestralSampler
+
+    scfg = get_config("FULL_PIPELINE")
+    vcfg = scfg.vqvae
+    n_samples = 8
+
+    rng = jax.random.PRNGKey(0)
+    sampler = AncestralSampler.from_config(scfg, rng)
+
+    # ---- generation: full ancestral chain ---------------------------------
+    y = jnp.zeros((n_samples,), jnp.int32)
+    wav = sampler.sample_audio(n_samples, jax.random.PRNGKey(1), y_genre=y)
+    jax.block_until_ready(wav)  # compile + warm-up
+
+    iters = 3
+    t0 = time.time()
+    for i in range(iters):
+        wav = sampler.sample_audio(n_samples, jax.random.PRNGKey(2 + i), y_genre=y)
+    jax.block_until_ready(wav)
+    gen_dt = (time.time() - t0) / iters
+    audio_seconds = n_samples * vcfg.sample_length / SAMPLE_RATE
+    clips_per_sec = audio_seconds / gen_dt
+
+    # ---- encode: waveform -> codebook tokens ------------------------------
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (32, vcfg.sample_length, 1)), jnp.float32)
+    enc = jax.jit(lambda p, c, x: vqvae_encode(p, c, vcfg, x))
+    zs = enc(sampler.vqvae_params, sampler.codebooks, x)
+    jax.block_until_ready(zs)
+    t0 = time.time()
+    for _ in range(10):
+        zs = enc(sampler.vqvae_params, sampler.codebooks, x)
+    jax.block_until_ready(zs)
+    enc_dt = (time.time() - t0) / 10
+    tokens = sum(int(np.prod(z.shape)) for z in zs)
+    tokens_per_sec = tokens / enc_dt
+
+    baseline = _load_baseline()
+    vs_baseline = (clips_per_sec / baseline["clips_per_sec"]) if baseline else 0.0
+    enc_vs = (tokens_per_sec / baseline["encode_tokens_per_sec"]) if baseline else 0.0
+
+    result = {
+        "metric": "e2e_generation_throughput",
+        "value": round(clips_per_sec, 3),
+        "unit": "1s-clips/sec/chip",
+        "vs_baseline": round(vs_baseline, 2),
+        "extra": {
+            "generate_wall_sec_per_batch": round(gen_dt, 3),
+            "batch": n_samples,
+            "audio_seconds_per_batch": audio_seconds,
+            "encode_tokens_per_sec": round(tokens_per_sec),
+            "encode_vs_baseline": round(enc_vs, 2),
+            "device": str(jax.devices()[0]),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
