@@ -1,0 +1,158 @@
+"""Checkpoint/resume, monitors, training loops, vanilla prior, random search."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from vae_music_tpu.configs import VQVAEConfig, PriorConfig
+from vae_music_tpu.data.audio import synthetic_audio_batch
+from vae_music_tpu.models.autoregressive import MHAAutoregressive, make_dense_decode_fn
+from vae_music_tpu.models.vqvae import init_vqvae
+from vae_music_tpu.sample.decode import SampleMode
+from vae_music_tpu.sample.search import make_score_fn, random_sample, token_mode_fraction
+from vae_music_tpu.train.checkpoint import CheckpointManager
+from vae_music_tpu.train.loop import make_inspect_fn, train_prior, train_vqvae
+from vae_music_tpu.train.metrics import MeanAggregator, codebook_usage_report, write_wav
+from vae_music_tpu.train.monitors import VQVAEMonitor
+from vae_music_tpu.train.state import VQVAETrainState
+from vae_music_tpu.train.vqvae_step import make_vqvae_eval_step, make_vqvae_train_step
+
+
+def _tiny_cfg():
+    return VQVAEConfig(
+        sample_length=1024, levels=1, latent_dim=8, codebook_size=16,
+        down_depth=(3,), strides=(2,), residual_width=8, residual_depth=2,
+        dilation_factor=3, use_spectral_loss=False,
+    ).validate()
+
+
+def test_checkpoint_roundtrip_restores_everything(tmp_path):
+    cfg = _tiny_cfg()
+    params, cbs = init_vqvae(jax.random.PRNGKey(0), cfg)
+    state = VQVAETrainState.create(params, cbs, optax.adam(1e-3))
+    step = make_vqvae_train_step(cfg, donate=False)
+    x = jnp.asarray(synthetic_audio_batch(0, 4, cfg.sample_length)[0])
+    for _ in range(3):
+        state, _ = step(state, x, jax.random.PRNGKey(1))
+
+    mngr = CheckpointManager(str(tmp_path / "ckpt"))
+    mngr.save(int(state.step), state)
+
+    fresh_params, fresh_cbs = init_vqvae(jax.random.PRNGKey(9), cfg)
+    template = VQVAETrainState.create(fresh_params, fresh_cbs, optax.adam(1e-3))
+    restored = mngr.restore(template)
+
+    assert int(restored.step) == 3  # the step resumes (gap noted at monitors.py:38-40)
+    np.testing.assert_allclose(np.asarray(restored.codebooks[0].N_t),
+                               np.asarray(state.codebooks[0].N_t))
+    for a, b in zip(jax.tree_util.tree_leaves(restored.params),
+                    jax.tree_util.tree_leaves(state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    # Training continues identically from the restored state.
+    s1, m1 = step(state, x, jax.random.PRNGKey(2))
+    s2, m2 = step(restored, x, jax.random.PRNGKey(2))
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-6)
+    mngr.close()
+
+
+def test_train_loop_with_monitor(tmp_path):
+    cfg = _tiny_cfg()
+    x, _ = synthetic_audio_batch(0, 16, cfg.sample_length)
+    mngr = CheckpointManager(str(tmp_path / "ckpt"))
+    monitor = VQVAEMonitor(
+        str(tmp_path), ckpt_manager=mngr,
+        eval_fn=make_vqvae_eval_step(cfg), val_batch=jnp.asarray(x[:4]),
+        inspect_fn=make_inspect_fn(cfg), inspect_batch=jnp.asarray(x[:2]),
+        ckpt_interval=1, val_interval=1, inspect_interval=1)
+    state = train_vqvae(cfg, x, epochs=2, batch_size=4, monitor=monitor)
+    assert int(state.step) == 8
+    assert mngr.latest_step() is not None
+    assert os.path.exists(tmp_path / "vqvae_train.jsonl")
+    assert os.path.exists(tmp_path / "vqvae_val.jsonl")
+    assert os.path.exists(tmp_path / "recons" / "epoch1_level0.wav")
+    mngr.close()
+
+
+def test_train_prior_loop():
+    cfg = _tiny_cfg()
+    pcfg = PriorConfig(level=0, levels=1, bins=17, width=32, depth=2, heads=2,
+                       blocks=4, attn_stacks=1, dropout=0.0, genre_classes=10)
+    vp, cbs = init_vqvae(jax.random.PRNGKey(0), cfg)
+    x, y = synthetic_audio_batch(0, 8, cfg.sample_length)
+    state = train_prior(cfg, pcfg, vp, cbs, x, y, epochs=1, batch_size=4)
+    assert int(state.step) == 2
+
+
+def test_write_wav_roundtrip(tmp_path):
+    import wave
+
+    path = str(tmp_path / "t.wav")
+    sig = np.sin(np.linspace(0, 40, 3000)).astype(np.float32)
+    write_wav(path, sig, 3000)
+    with wave.open(path) as f:
+        assert f.getframerate() == 3000
+        assert f.getnframes() == 3000
+
+
+def test_mean_aggregator():
+    agg = MeanAggregator()
+    agg.update({"a": 1.0})
+    agg.update({"a": 3.0})
+    assert agg.result() == {"a": 2.0}
+    agg.reset()
+    assert agg.result() == {}
+
+
+def test_codebook_usage_report():
+    rep = codebook_usage_report(np.array([0.0, 2.0, 5.0, 0.5]))
+    assert rep["codes_in_use"] == 2
+    assert rep["codes_total"] == 4
+
+
+# -- vanilla dense-attention prior (autoregressive.py) -----------------------
+
+
+def test_vanilla_prior_forward_and_cached_decode():
+    model = MHAAutoregressive(bins=17, width=32, depth=2, ctx_len=12,
+                              ffn_width=64, heads=2, dropout=0.0)
+    tokens = jnp.zeros((2, 12), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), tokens)
+    logits, attn = model.apply(params, tokens)
+    assert logits.shape == (2, 12, 17)
+    assert set(attn) == {"decoder_layer1_attention", "decoder_layer2_attention"}
+
+    dec = make_dense_decode_fn(model, 2, mode=SampleMode.GREEDY, return_logits=True)
+    out_tokens, dec_logits = dec(params, jax.random.PRNGKey(1))
+    assert out_tokens.shape == (2, 13)
+    full_logits, _ = model.apply(params, out_tokens[:, :-1])
+    np.testing.assert_allclose(np.asarray(dec_logits), np.asarray(full_logits),
+                               rtol=1e-4, atol=2e-4)
+    np.testing.assert_array_equal(np.asarray(jnp.argmax(full_logits, -1)),
+                                  np.asarray(out_tokens[:, 1:]))
+
+
+# -- best-of-N random search (autoregressive_fmha.py:242-302) ----------------
+
+
+def test_token_mode_fraction():
+    t = jnp.array([[1, 1, 1, 2], [1, 2, 3, 4]])
+    np.testing.assert_allclose(np.asarray(token_mode_fraction(t, 5)), [0.75, 0.25])
+
+
+def test_random_sample_prefers_low_loss_and_rejects_degenerate():
+    model = MHAAutoregressive(bins=17, width=32, depth=2, ctx_len=12,
+                              ffn_width=64, heads=2, dropout=0.0)
+    tokens = jnp.zeros((2, 12), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), tokens)
+    dec = make_dense_decode_fn(model, 4, mode=SampleMode.GUMBEL)
+    score = make_score_fn(model)
+    best, best_loss = random_sample(dec, score, params, jax.random.PRNGKey(1),
+                                    bins=17, iterations=3, token_freq=0.9)
+    assert best.shape == (13,)
+    assert np.isfinite(float(best_loss))
+    frac = float(token_mode_fraction(best[None, 1:], 17)[0])
+    assert frac < 0.9

@@ -1,0 +1,73 @@
+"""Generate audio with the full ancestral chain.
+
+  python -m vae_music_tpu.cli.generate --n_samples 4 --genre 3 --out_dir samples/
+"""
+
+import argparse
+import os
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", default="FULL_PIPELINE")
+    p.add_argument("--n_samples", type=int, default=4)
+    p.add_argument("--genre", type=int, default=None)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--out_dir", default="samples")
+    p.add_argument("--temperature", type=float, default=1.0)
+    p.add_argument("--mode", choices=["gumbel", "greedy", "top_k"], default="gumbel")
+    p.add_argument("--top_k", type=int, default=0)
+    p.add_argument("--vqvae_ckpt", default=None)
+    p.add_argument("--prior_ckpts", nargs="*", default=None,
+                   help="one checkpoint dir per level (bottom first)")
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from vae_music_tpu.configs import get_config
+    from vae_music_tpu.sample.decode import SampleMode
+    from vae_music_tpu.sample.sampler import AncestralSampler
+    from vae_music_tpu.train.metrics import write_wav
+
+    scfg = get_config(args.config)
+    sampler = AncestralSampler.from_config(
+        scfg, jax.random.PRNGKey(args.seed),
+        mode=SampleMode(args.mode), temperature=args.temperature,
+        top_k=args.top_k)
+
+    if args.vqvae_ckpt:
+        from vae_music_tpu.train.checkpoint import CheckpointManager
+        from vae_music_tpu.train.state import VQVAETrainState
+
+        template = VQVAETrainState.create(sampler.vqvae_params, sampler.codebooks,
+                                          optax.adam(1e-4))
+        restored = CheckpointManager(args.vqvae_ckpt).restore(template)
+        sampler.vqvae_params = restored.params
+        sampler.codebooks = restored.codebooks
+    if args.prior_ckpts:
+        from vae_music_tpu.train.checkpoint import CheckpointManager
+        from vae_music_tpu.train.prior_step import default_prior_optimizer
+        from vae_music_tpu.train.state import PriorTrainState
+
+        for level, path in enumerate(args.prior_ckpts):
+            template = PriorTrainState.create(
+                sampler.prior_params[level],
+                default_prior_optimizer(sampler.prior_cfgs[level]))
+            sampler.prior_params[level] = CheckpointManager(path).restore(template).params
+
+    y = (jnp.full((args.n_samples,), args.genre, jnp.int32)
+         if args.genre is not None else None)
+    wav = sampler.sample_audio(args.n_samples, jax.random.PRNGKey(args.seed + 1),
+                               y_genre=y)
+    os.makedirs(args.out_dir, exist_ok=True)
+    for i in range(args.n_samples):
+        path = os.path.join(args.out_dir, f"sample{i}.wav")
+        write_wav(path, np.asarray(wav[i]))
+        print("wrote", path)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,78 @@
+"""Best-of-N random-search sampling.
+
+Mirror of ``random_sample`` (/root/reference/src/autoregressive/
+autoregressive_fmha.py:242-302): sample ``iterations`` batches, score each
+sample by the model's own token loss, keep the best-scoring sample while
+rejecting degenerate ones where a single token occupies >= ``token_freq``
+of the sequence.
+
+TPU-first: all candidates of one iteration are scored in a single batched
+forward; the degeneracy check is a bincount-free one-hot sum (static shapes).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def token_mode_fraction(tokens: jnp.ndarray, bins: int) -> jnp.ndarray:
+    """(N, T) -> (N,) fraction of the sequence taken by its most frequent token."""
+    onehot = jax.nn.one_hot(tokens, bins, dtype=jnp.float32)  # (N, T, bins)
+    counts = jnp.sum(onehot, axis=1)                          # (N, bins)
+    return jnp.max(counts, axis=-1) / tokens.shape[1]
+
+
+def random_sample(
+    decode_fn: Callable,           # (params, rng, ...) -> tokens (N, T+1)
+    score_fn: Callable,            # (params, tokens (N,T+1)) -> (N,) mean loss/sample
+    params,
+    rng: jax.Array,
+    *,
+    bins: int,
+    iterations: int = 10,
+    token_freq: float = 0.50,
+    decode_args: tuple = (),
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Returns (best_tokens (T+1,), best_loss scalar)."""
+    best_loss = jnp.inf
+    best = None
+    for i in range(iterations):
+        rng, step = jax.random.split(rng)
+        tokens = decode_fn(params, step, *decode_args)
+        losses = score_fn(params, tokens)                     # (N,)
+        # Reject degenerate candidates (single token >= token_freq of seq).
+        frac = token_mode_fraction(tokens[:, 1:], bins)
+        losses = jnp.where(frac >= token_freq, jnp.inf, losses)
+        idx = int(jnp.argmin(losses))
+        if float(losses[idx]) < float(best_loss):
+            best_loss = losses[idx]
+            best = tokens[idx]
+    if best is None:  # every candidate degenerate — return the last batch's best
+        best = tokens[idx]
+        best_loss = losses[idx]
+    return best, best_loss
+
+
+def make_score_fn(model, *, x_cond=None, y_cond=None):
+    """Per-sample mean token loss of a sampled sequence under the model
+    (autoregressive_fmha.py:261-267)."""
+
+    def score(params, tokens):
+        inputs, targets = tokens[:, :-1], tokens[:, 1:]
+        logits, _ = model.apply(params, inputs, x_cond, y_cond) \
+            if _takes_cond(model) else model.apply(params, inputs)
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        nll = -jnp.take_along_axis(logp, targets[..., None].astype(jnp.int32),
+                                   axis=-1)[..., 0]
+        return jnp.mean(nll, axis=-1)
+
+    return jax.jit(score)
+
+
+def _takes_cond(model) -> bool:
+    from vae_music_tpu.models.prior import FMHAPrior
+
+    return isinstance(model, FMHAPrior)

@@ -1,0 +1,47 @@
+"""Orbax checkpointing.
+
+The reference injects a ``tf.train.CheckpointManager`` into its monitor
+callbacks (vae_monitor.py:28-31,55-58; monitors.py:31-33,68-70) and the author
+notes the step counter is NOT restored on resume (monitors.py:38-40).  Here
+the whole train state — params, optimizer slots, VQ EMA codebooks AND the step
+— is one pytree, so save/restore is exact and resumable.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import jax
+import orbax.checkpoint as ocp
+
+
+class CheckpointManager:
+    def __init__(self, directory: str, max_to_keep: int = 3):
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        self.mngr = ocp.CheckpointManager(
+            self.directory,
+            options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep,
+                                                 create=True),
+        )
+
+    def save(self, step: int, state: Any) -> None:
+        self.mngr.save(step, args=ocp.args.StandardSave(state))
+        self.mngr.wait_until_finished()
+
+    def latest_step(self) -> Optional[int]:
+        return self.mngr.latest_step()
+
+    def restore(self, template: Any, step: Optional[int] = None) -> Any:
+        """Restore into the structure of ``template`` (a freshly-built state)."""
+        if step is None:
+            step = self.mngr.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint under {self.directory}")
+        abstract = jax.tree_util.tree_map(
+            ocp.utils.to_shape_dtype_struct, template)
+        return self.mngr.restore(step, args=ocp.args.StandardRestore(abstract))
+
+    def close(self):
+        self.mngr.close()

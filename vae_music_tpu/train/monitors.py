@@ -1,0 +1,143 @@
+"""Training monitors.
+
+Functional equivalents of the reference's Keras callbacks:
+  * ``VQVAEMonitor`` (/root/reference/src/callback/vae_monitor.py:8-156):
+    checkpoint every ``ckpt_interval``, validation + metric reset every
+    ``val_interval``, per-level reconstruction inspection (WAV dumps) every
+    ``inspect_interval``
+  * ``PriorMonitor`` (/root/reference/src/callback/monitors.py:8-174):
+    per-step scalars, periodic eval, periodic teacher-forced decode and
+    prior-sampled audio.
+
+The monitors are plain objects driven by the training loop (no framework
+callbacks); all heavy work happens in already-jitted functions.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Optional
+
+import jax
+import numpy as np
+
+from vae_music_tpu.train.metrics import (
+    MeanAggregator,
+    ScalarLogger,
+    codebook_usage_report,
+    write_wav,
+)
+
+
+class VQVAEMonitor:
+    def __init__(
+        self,
+        out_dir: str,
+        *,
+        ckpt_manager=None,
+        eval_fn: Optional[Callable] = None,       # (state, batch) -> metrics
+        val_batch=None,
+        inspect_fn: Optional[Callable] = None,    # (state, batch) -> recons list
+        inspect_batch=None,
+        ckpt_interval: int = 10,
+        val_interval: int = 5,
+        inspect_interval: int = 10,
+        sample_rate: int = 3000,
+    ):
+        self.out_dir = out_dir
+        self.ckpt_manager = ckpt_manager
+        self.eval_fn = eval_fn
+        self.val_batch = val_batch
+        self.inspect_fn = inspect_fn
+        self.inspect_batch = inspect_batch
+        self.ckpt_interval = ckpt_interval
+        self.val_interval = val_interval
+        self.inspect_interval = inspect_interval
+        self.sample_rate = sample_rate
+        self.agg = MeanAggregator()
+        self.train_log = ScalarLogger(out_dir, "vqvae_train")
+        self.val_log = ScalarLogger(out_dir, "vqvae_val")
+
+    def on_step(self, step: int, metrics) -> None:
+        self.agg.update(metrics)
+
+    def on_epoch_end(self, epoch: int, state) -> None:
+        self.train_log.log(int(state.step), self.agg.result())
+        self.agg.reset()
+
+        if self.ckpt_manager is not None and epoch % self.ckpt_interval == 0:
+            self.ckpt_manager.save(int(state.step), state)
+
+        if (self.eval_fn is not None and self.val_batch is not None
+                and epoch % self.val_interval == 0):
+            self.val_log.log(int(state.step),
+                             {k: float(v) for k, v in
+                              self.eval_fn(state, self.val_batch).items()},
+                             prefix="val_")
+
+        if (self.inspect_fn is not None and self.inspect_batch is not None
+                and epoch % self.inspect_interval == 0):
+            recons = self.inspect_fn(state, self.inspect_batch)
+            for level, recon in enumerate(recons):
+                wav = np.asarray(recon[0])
+                write_wav(os.path.join(self.out_dir, "recons",
+                                       f"epoch{epoch}_level{level}.wav"),
+                          wav, self.sample_rate)
+            for level, cb in enumerate(state.codebooks):
+                report = codebook_usage_report(np.asarray(cb.N_t))
+                self.val_log.log(int(state.step), report,
+                                 prefix=f"codebook{level}_")
+
+
+class PriorMonitor:
+    def __init__(
+        self,
+        out_dir: str,
+        *,
+        ckpt_manager=None,
+        eval_fn: Optional[Callable] = None,       # (state, audio, labels) -> metrics
+        val_batch=None,
+        sample_fn: Optional[Callable] = None,     # (state, rng) -> waveform batch
+        ckpt_interval: int = 20,
+        val_interval: int = 10,
+        sample_interval: int = 50,
+        sample_rate: int = 3000,
+    ):
+        self.out_dir = out_dir
+        self.ckpt_manager = ckpt_manager
+        self.eval_fn = eval_fn
+        self.val_batch = val_batch
+        self.sample_fn = sample_fn
+        self.ckpt_interval = ckpt_interval
+        self.val_interval = val_interval
+        self.sample_interval = sample_interval
+        self.sample_rate = sample_rate
+        self.agg = MeanAggregator()
+        self.train_log = ScalarLogger(out_dir, "prior_train")
+        self.val_log = ScalarLogger(out_dir, "prior_val")
+
+    def on_step(self, step: int, metrics) -> None:
+        self.agg.update(metrics)
+
+    def on_epoch_end(self, epoch: int, state, rng: Optional[jax.Array] = None) -> None:
+        self.train_log.log(int(state.step), self.agg.result())
+        self.agg.reset()
+
+        if self.ckpt_manager is not None and epoch % self.ckpt_interval == 0:
+            self.ckpt_manager.save(int(state.step), state)
+
+        if (self.eval_fn is not None and self.val_batch is not None
+                and epoch % self.val_interval == 0):
+            audio, labels = self.val_batch
+            self.val_log.log(int(state.step),
+                             {k: float(v) for k, v in
+                              self.eval_fn(state, audio, labels).items()},
+                             prefix="val_")
+
+        if (self.sample_fn is not None and rng is not None
+                and epoch % self.sample_interval == 0):
+            wavs = np.asarray(self.sample_fn(state, rng))
+            for i in range(min(len(wavs), 4)):
+                write_wav(os.path.join(self.out_dir, "samples",
+                                       f"epoch{epoch}_sample{i}.wav"),
+                          wavs[i], self.sample_rate)
