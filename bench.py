@@ -48,15 +48,20 @@ def main():
     sampler = AncestralSampler.from_config(scfg, rng)
 
     # ---- generation: full ancestral chain ---------------------------------
+    # NOTE: on the tunneled TPU backend block_until_ready() does not reliably
+    # wait for remote execution; a scalar host fetch does.  All timings below
+    # force completion by fetching a reduction of the result.
     y = jnp.zeros((n_samples,), jnp.int32)
     wav = sampler.sample_audio(n_samples, jax.random.PRNGKey(1), y_genre=y)
-    jax.block_until_ready(wav)  # compile + warm-up
+    _ = float(jnp.sum(wav))  # compile + warm-up + forced completion
 
     iters = 3
     t0 = time.time()
     for i in range(iters):
         wav = sampler.sample_audio(n_samples, jax.random.PRNGKey(2 + i), y_genre=y)
-    jax.block_until_ready(wav)
+    # Device executions are in-order: fetching the last result's sum waits
+    # for every queued iteration, amortizing the tunnel RTT over `iters`.
+    _ = float(jnp.sum(wav))
     gen_dt = (time.time() - t0) / iters
     audio_seconds = n_samples * vcfg.sample_length / SAMPLE_RATE
     clips_per_sec = audio_seconds / gen_dt
@@ -64,15 +69,17 @@ def main():
     # ---- encode: waveform -> codebook tokens ------------------------------
     x = jnp.asarray(np.random.default_rng(0).standard_normal(
         (32, vcfg.sample_length, 1)), jnp.float32)
-    enc = jax.jit(lambda p, c, x: vqvae_encode(p, c, vcfg, x))
+    enc = jax.jit(
+        lambda p, c, x: [z.sum() for z in vqvae_encode(p, c, vcfg, x)])
     zs = enc(sampler.vqvae_params, sampler.codebooks, x)
-    jax.block_until_ready(zs)
+    _ = [float(z) for z in zs]
+    iters_enc = 50
     t0 = time.time()
-    for _ in range(10):
+    for _ in range(iters_enc):
         zs = enc(sampler.vqvae_params, sampler.codebooks, x)
-    jax.block_until_ready(zs)
-    enc_dt = (time.time() - t0) / 10
-    tokens = sum(int(np.prod(z.shape)) for z in zs)
+    _ = [float(z) for z in zs]
+    enc_dt = (time.time() - t0) / iters_enc
+    tokens = sum(x.shape[0] * zl for zl in vcfg.z_lengths)
     tokens_per_sec = tokens / enc_dt
 
     baseline = _load_baseline()

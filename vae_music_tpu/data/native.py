@@ -43,11 +43,64 @@ def _load_lib() -> Optional[ctypes.CDLL]:
                     ctypes.POINTER(ctypes.c_long),        # out length
                     ctypes.POINTER(ctypes.c_int),         # out sample rate
                 ]
+                lib.vmt_load_batch.restype = ctypes.c_long
+                lib.vmt_load_batch.argtypes = [
+                    ctypes.POINTER(ctypes.c_char_p), ctypes.c_long,
+                    ctypes.c_int, ctypes.c_long,
+                    ctypes.POINTER(ctypes.c_float),
+                    ctypes.POINTER(ctypes.c_long), ctypes.c_int,
+                ]
+                lib.vmt_split_windows.restype = ctypes.c_long
+                lib.vmt_split_windows.argtypes = [
+                    ctypes.POINTER(ctypes.c_float), ctypes.c_long,
+                    ctypes.c_double, ctypes.c_double,
+                    ctypes.POINTER(ctypes.c_float), ctypes.c_long,
+                ]
                 _lib = lib
                 break
             except OSError:
                 continue
     return _lib
+
+
+def load_batch(paths, target_sr: int, max_len: int,
+               n_threads: int = 0) -> Tuple[np.ndarray, np.ndarray]:
+    """Parallel decode+resample of many WAVs into a dense (N, max_len) array.
+
+    Returns (waves, lengths); lengths[i] == -1 marks a failed file.
+    Requires the native library (raises RuntimeError otherwise).
+    """
+    lib = _load_lib()
+    if lib is None:
+        raise RuntimeError("native audio loader not built (make -C runtime)")
+    n = len(paths)
+    c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    out = np.zeros((n, max_len), np.float32)
+    lengths = np.zeros(n, np.int64)
+    lib.vmt_load_batch(
+        c_paths, n, target_sr, max_len,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_long)), n_threads)
+    return out, lengths
+
+
+def split_windows(signal: np.ndarray, window: float, overlap: float) -> np.ndarray:
+    """Native overlapping-window segmentation (data_utils.py:65-91 semantics)."""
+    lib = _load_lib()
+    if lib is None:
+        raise RuntimeError("native audio loader not built (make -C runtime)")
+    signal = np.ascontiguousarray(signal, np.float32).reshape(-1)
+    chunk = int(len(signal) * window)
+    if chunk <= 0:
+        return np.zeros((0, 0), np.float32)
+    offset = max(int(chunk * (1.0 - overlap)), 1)
+    max_segs = max((len(signal) - chunk) // offset + 1, 0)
+    out = np.zeros((max_segs, chunk), np.float32)
+    n = lib.vmt_split_windows(
+        signal.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), len(signal),
+        window, overlap,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), out.size)
+    return out[:n]
 
 
 def available() -> bool:

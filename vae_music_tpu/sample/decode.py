@@ -117,7 +117,33 @@ def make_decode_fn(
             from vae_music_tpu.nn.positional import sinusoidal_encoding
 
             pos = sinusoidal_encoding(ctx_len, width)[0]
-        layers = [p["transformer"][f"layer_{i}"] for i in range(depth)]
+        # Fold the per-head q/k/v projections into the causal-conv kernel and
+        # the o_proj into the final proj — constant folding done once per
+        # call, removing 4 of the 6 matmuls from every decode step.
+        def fold_layer(lp):
+            f = lp["fmha"]
+            wc = f["qkv_conv"]["kernel"]            # (3, d_model, 3*attn_w)
+            bc = f["qkv_conv"]["bias"]              # (3*attn_w,)
+            folded_k, folded_b = [], []
+            for part, nm in enumerate(("q_proj", "k_proj", "v_proj")):
+                wp = f[nm]["kernel"].reshape(attn_w, heads * hd)
+                bp = f[nm]["bias"].reshape(heads * hd)
+                sl = slice(part * attn_w, (part + 1) * attn_w)
+                folded_k.append(wc[:, :, sl] @ wp)              # (3, d_model, h*hd)
+                folded_b.append(bc[sl] @ wp + bp)
+            wo = f["o_proj"]["kernel"].reshape(heads * hd, attn_w)
+            bo = f["o_proj"]["bias"]
+            wp2, bp2 = f["proj"]["kernel"], f["proj"]["bias"]
+            return {
+                "qkv_kernel": jnp.concatenate(folded_k, axis=-1),  # (3, d, 3*h*hd)
+                "qkv_bias": jnp.concatenate(folded_b, axis=-1),
+                "out_kernel": wo @ wp2,                            # (h*hd, d_model)
+                "out_bias": bo @ wp2 + bp2,
+                "ln1": lp["ln1"], "ln2": lp["ln2"], "mlp": lp["mlp"],
+            }
+
+        layers = [fold_layer(p["transformer"][f"layer_{i}"])
+                  for i in range(depth)]
         out_k, out_b = p["out"]["kernel"], p["out"]["bias"]
 
         k_cache0 = jnp.zeros((depth, n_samples, ctx_len, heads, hd), jnp.float32)
@@ -126,19 +152,19 @@ def make_decode_fn(
 
         def layer_step(li, lp, x, t, b, i, k_cache, v_cache, u_cache):
             """One residual attn block at position t. x: (N, width)."""
-            f = lp["fmha"]
             u = _layernorm(x, lp["ln1"]["scale"], lp["ln1"]["bias"])
-            # Causal conv k=3 from the rolling u-cache (zeros before t=0).
-            w_conv = f["qkv_conv"]["kernel"]           # (3, width, 3*attn_w)
+            # Folded causal conv k=3 (+ per-head projections) from the
+            # rolling u-cache (zeros before t=0).
+            w_conv = lp["qkv_kernel"]                  # (3, width, 3*h*hd)
             qkv = (u_cache[li, :, 0] @ w_conv[0]
                    + u_cache[li, :, 1] @ w_conv[1]
-                   + u @ w_conv[2] + f["qkv_conv"]["bias"])
+                   + u @ w_conv[2] + lp["qkv_bias"])
             u_cache = u_cache.at[li].set(
                 jnp.stack([u_cache[li, :, 1], u], axis=1))
-            q, k, v = jnp.split(qkv, 3, axis=-1)       # (N, attn_w) each
-            q = jnp.einsum("nw,whd->nhd", q, f["q_proj"]["kernel"]) + f["q_proj"]["bias"]
-            k = jnp.einsum("nw,whd->nhd", k, f["k_proj"]["kernel"]) + f["k_proj"]["bias"]
-            v = jnp.einsum("nw,whd->nhd", v, f["v_proj"]["kernel"]) + f["v_proj"]["bias"]
+            q, k, v = jnp.split(qkv, 3, axis=-1)       # (N, h*hd) each
+            q = q.reshape(n_samples, heads, hd)
+            k = k.reshape(n_samples, heads, hd)
+            v = v.reshape(n_samples, heads, hd)
 
             k_cache = jax.lax.dynamic_update_slice(
                 k_cache, k[None, :, None], (li, 0, t, 0, 0))
@@ -166,8 +192,8 @@ def make_decode_fn(
                 attn = _attend_single(q, ks, vs, None)
                 attn = attn * (b > 0).astype(attn.dtype)
 
-            o = jnp.einsum("nhd,hdw->nw", attn, f["o_proj"]["kernel"]) + f["o_proj"]["bias"]
-            res1 = o @ f["proj"]["kernel"] + f["proj"]["bias"]
+            res1 = (attn.reshape(n_samples, heads * hd) @ lp["out_kernel"]
+                    + lp["out_bias"])
             h = _layernorm(x + res1, lp["ln2"]["scale"], lp["ln2"]["bias"])
             res2 = h @ lp["mlp"]["kernel"] + lp["mlp"]["bias"]
             return res2 + res1 + x, k_cache, v_cache, u_cache
