@@ -42,7 +42,9 @@ def main():
 
     scfg = get_config("FULL_PIPELINE")
     vcfg = scfg.vqvae
-    n_samples = 8
+    # Generation is latency-bound per decode step; batch 32 amortizes it
+    # (near-linear clips/s scaling measured 8 -> 32).
+    n_samples = 32
 
     rng = jax.random.PRNGKey(0)
     sampler = AncestralSampler.from_config(scfg, rng)

@@ -1,0 +1,61 @@
+"""Profiling & debugging helpers.
+
+The reference has no profiler (SURVEY.md §5 'Tracing/profiling: None').  TPU
+equivalents provided here:
+  * ``trace(profile_dir)`` — jax.profiler trace context (Perfetto-compatible)
+  * ``timed`` — wall-clock timing that FORCES remote completion via a scalar
+    fetch (block_until_ready is unreliable over tunneled TPU backends)
+  * ``enable_nan_checks`` — jax debug_nans, the analogue of the reference's
+    NaN-prevention clip at VectorQuantizer.py:141-144.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+@contextlib.contextmanager
+def trace(profile_dir: str):
+    """Capture a jax.profiler trace viewable in Perfetto/TensorBoard."""
+    jax.profiler.start_trace(profile_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+def force_completion(tree) -> float:
+    """Block until a pytree of device arrays has actually been computed.
+
+    Fetches a scalar reduction of one leaf to the host — reliable even on
+    backends where block_until_ready returns early.
+    """
+    leaves = jax.tree_util.tree_leaves(tree)
+    total = 0.0
+    for leaf in leaves[-1:]:
+        if hasattr(leaf, "dtype") and jnp.issubdtype(leaf.dtype, jnp.number):
+            total = float(jnp.sum(leaf))
+    return total
+
+
+def timed(fn: Callable, *args, iters: int = 10, warmup: int = 1,
+          **kwargs) -> Tuple[float, object]:
+    """Returns (seconds_per_call, last_result), RTT amortized over iters."""
+    out = None
+    for _ in range(warmup):
+        out = fn(*args, **kwargs)
+    force_completion(out)
+    t0 = time.time()
+    for _ in range(iters):
+        out = fn(*args, **kwargs)
+    force_completion(out)
+    return (time.time() - t0) / iters, out
+
+
+def enable_nan_checks(enable: bool = True) -> None:
+    jax.config.update("jax_debug_nans", enable)
