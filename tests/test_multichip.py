@@ -1,0 +1,64 @@
+"""Multi-device tests on the 8-device virtual CPU mesh (SURVEY.md §4):
+DP+TP dryrun, and sequence-parallel (block-axis) sharding of the factorized
+attention via GSPMD."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from vae_music_tpu.nn.attention import FactorizedAttention
+
+
+def test_dryrun_multichip_8():
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(8)
+
+
+def test_factorized_attention_sequence_sharded():
+    """Long-context story (SURVEY.md §5): the (blocks, block_len) grid makes
+    the sequence shardable — row/prev_row stay block-local, col becomes a
+    collective.  GSPMD must produce identical outputs for a sequence-sharded
+    input."""
+    mesh = Mesh(np.array(jax.devices()).reshape(8, 1), ("data", "model"))
+    for attn_func in (0, 1, 2):
+        m = FactorizedAttention(ctx_len=64, num_heads=2, d_model=16, blocks=8,
+                                attn_func=attn_func)
+        x = jax.random.normal(jax.random.PRNGKey(0), (4, 64, 16))
+        params = m.init(jax.random.PRNGKey(1), x)
+        f = jax.jit(lambda p, x: m.apply(p, x))
+        ref = f(params, x)
+        # Shard the sequence (time) axis across 8 devices.
+        xs = jax.device_put(x, NamedSharding(mesh, P(None, "data", None)))
+        out = f(params, xs)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_prior_tp_sharded_forward_matches():
+    """Column-parallel prior kernels over the 'model' axis give identical
+    logits to the replicated forward."""
+    from vae_music_tpu.configs import PriorConfig, VQVAEConfig
+    from vae_music_tpu.parallel.sharding import prior_param_sharding
+    from vae_music_tpu.train.prior_step import init_prior
+
+    vcfg = VQVAEConfig(sample_length=512, levels=1, latent_dim=8, codebook_size=16,
+                       down_depth=(3,), strides=(2,), residual_width=8,
+                       residual_depth=1, dilation_factor=3,
+                       use_spectral_loss=False).validate()
+    pcfg = PriorConfig(level=0, levels=1, bins=17, width=32, depth=2, heads=2,
+                       blocks=4, attn_stacks=1, dropout=0.0, genre_classes=None)
+    model, params = init_prior(jax.random.PRNGKey(0), vcfg, pcfg)
+    tokens = jax.random.randint(jax.random.PRNGKey(1), (4, 64), 0, 16)
+
+    f = jax.jit(lambda p, t: model.apply(p, t)[0])
+    ref = f(params, tokens)
+
+    mesh = Mesh(np.array(jax.devices()).reshape(4, 2), ("data", "model"))
+    shardings = prior_param_sharding(mesh, params)
+    params_tp = jax.tree_util.tree_map(jax.device_put, params, shardings)
+    tokens_dp = jax.device_put(tokens, NamedSharding(mesh, P("data")))
+    out = f(params_tp, tokens_dp)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)

@@ -94,6 +94,7 @@ def make_dense_decode_fn(
     temperature: float = 1.0,
     top_k: int = 0,
     return_logits: bool = False,
+    unroll: int = 1,
 ):
     """KV-cached greedy/categorical decode for the vanilla prior."""
     width, heads, depth = model.width, model.heads, model.depth
@@ -151,7 +152,7 @@ def make_dense_decode_fn(
         token0 = jnp.full((n_samples,), model.start_token, jnp.int32)
         _, outs = jax.lax.scan(scan_step,
                                (token0, k_cache0, v_cache0, rng),
-                               jnp.arange(ctx_len))
+                               jnp.arange(ctx_len), unroll=min(unroll, ctx_len))
         if return_logits:
             sampled, logits = outs
             return (jnp.concatenate([token0[:, None], sampled.T], axis=1),
