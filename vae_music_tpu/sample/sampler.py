@@ -56,6 +56,7 @@ class AncestralSampler:
         self._decode_fns: Dict = {}
         self._cond_fns: Dict = {}
         self._label_fns: Dict = {}
+        self._vq_decode_fns: Dict = {}
 
     @classmethod
     def from_config(cls, cfg: SamplerConfig, rng: jax.Array, **kw) -> "AncestralSampler":
@@ -89,6 +90,13 @@ class AncestralSampler:
             self._cond_fns[level] = jax.jit(
                 lambda p, z: model.apply(p, z, method=FMHAPrior.upsample_cond))
         return self._cond_fns[level]
+
+    def _vq_decoder(self, level: int):
+        if level not in self._vq_decode_fns:
+            cfg = self.vqvae_cfg
+            self._vq_decode_fns[level] = jax.jit(
+                lambda p, cbs, z: vqvae_decode(p, cbs, cfg, z, level))
+        return self._vq_decode_fns[level]
 
     def _label_embedder(self, level: int):
         if level not in self._label_fns:
@@ -138,5 +146,5 @@ class AncestralSampler:
         """Full chain: ancestral codes -> VQ-VAE decode -> waveform (N, T, C)."""
         assert self.vqvae_params is not None and self.codebooks is not None
         zs = self.sample_codes(n_samples, rng, y_genre)
-        return vqvae_decode(self.vqvae_params, self.codebooks, self.vqvae_cfg,
-                            zs[decode_level], decode_level)
+        return self._vq_decoder(decode_level)(self.vqvae_params, self.codebooks,
+                                              zs[decode_level])
