@@ -44,7 +44,7 @@ def main():
     vcfg = scfg.vqvae
     # Generation is latency-bound per decode step; batch 32 amortizes it
     # (near-linear clips/s scaling measured 8 -> 32).
-    n_samples = 32
+    n_samples = 64
 
     rng = jax.random.PRNGKey(0)
     sampler = AncestralSampler.from_config(scfg, rng)

@@ -1,0 +1,256 @@
+"""Fused decode-step kernel (Pallas/TPU).
+
+One kernel executes ALL transformer layers of a single autoregressive decode
+step (the body of the lax.scan in vae_music_tpu.sample.decode).  The XLA path
+issues ~30 small HLOs per layer per step; fusing the step removes that
+per-op overhead and reads only the pattern-relevant cache slices from HBM.
+
+Cache layout is lane-major: (depth, blocks, block_len, hd, N*H) with the
+batchxheads product on the 128-lane axis (Mosaic's DMA engine requires the
+trailing copy dims tile-aligned; (l, hd=16) trailing dims crash the
+compile-helper on this jaxlib).  Every pattern is then one rectangular DMA:
+
+      row      -> [li, b]        (current block)       (1, l, hd, NH)
+      col      -> [li, :, i]     (column i, all blocks) (blocks, 1, hd, NH)
+      prev_row -> [li, b-1]      (previous block)       (1, l, hd, NH)
+
+The CURRENT position's k/v never round-trip through HBM: attention treats
+them as an extra in-register key (history is masked strictly below the
+current offset), so the cache write DMA can overlap compute.  Folded weights
+(per-head projections pre-multiplied into the causal-conv and output kernels
+— see sample/decode.py) stay VMEM-resident; attention math runs lane-parallel
+over N*H with sublane reductions over keys.
+
+Constraints: N*heads must be a multiple of 128 on real TPUs (use the XLA path
+otherwise); interpret mode (CPU tests) has no alignment constraint.
+Numerics match the XLA path (f32 softmax, -1e9 masking); equality is enforced
+by tests/test_decode_pallas.py and the decode==full-forward invariant.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+try:
+    from jax.experimental.pallas import tpu as pltpu
+
+    _HAS_PLTPU = True
+except Exception:  # pragma: no cover
+    pltpu = None
+    _HAS_PLTPU = False
+
+LANE = 128
+
+
+def decode_pallas_available(n_samples: int = LANE, heads: int = 1) -> bool:
+    return (_HAS_PLTPU and jax.default_backend() not in ("cpu",)
+            and (n_samples * heads) % LANE == 0)
+
+
+def _make_kernel(depth, n, heads, hd, width, blocks, block_len, patterns):
+    nh = n * heads
+    hh = heads * hd
+    inv_sqrt_hd = 1.0 / math.sqrt(hd)
+
+    def kernel(scalar_ref,                                  # SMEM (1, 4): t, b, i
+               x_ref, uc_ref,                               # VMEM
+               kc_ref, vc_ref,                              # ANY (HBM)
+               qkv_k_ref, qkv_b_ref, out_k_ref, out_b_ref,
+               ln1s_ref, ln1b_ref, ln2s_ref, ln2b_ref,
+               mlp_k_ref, mlp_b_ref,
+               x_out_ref, uc_out_ref, kc_out_ref, vc_out_ref,
+               khist_ref, vhist_ref, kcol_ref, vcol_ref,    # VMEM scratch
+               kt_ref, vt_ref,                              # VMEM staging
+               read_sems, write_sems):
+        b = scalar_ref[0, 1]
+        i = scalar_ref[0, 2]
+        b_prev = jnp.maximum(b - 1, 0)
+
+        def ln(x, scale, bias):
+            mu = jnp.mean(x, axis=-1, keepdims=True)
+            var = jnp.mean(jnp.square(x - mu), axis=-1, keepdims=True)
+            return (x - mu) * jax.lax.rsqrt(var + 1e-6) * scale + bias
+
+        def to_lane_major(a):
+            """(N, hh) -> (hd, H*N), head-major lanes.
+
+            Per-head transpose + lane concat — a flat reshape across the
+            sublane/lane boundary would lower to an unsupported gather.
+            """
+            return jnp.concatenate(
+                [a[:, h * hd:(h + 1) * hd].T for h in range(heads)], axis=1)
+
+        def from_lane_major(a):
+            """(hd, H*N) -> (N, hh), inverse of to_lane_major."""
+            return jnp.concatenate(
+                [a[:, h * n:(h + 1) * n].T for h in range(heads)], axis=1)
+
+        x = x_ref[:]                                        # (N, width) f32
+        neg = jnp.float32(-1e9)
+        row_ids = jax.lax.broadcasted_iota(jnp.int32, (block_len, nh), 0)
+        blk_ids = jax.lax.broadcasted_iota(jnp.int32, (blocks, nh), 0)
+
+        for li in range(depth):
+            pattern = patterns[li]
+            u = ln(x, ln1s_ref[li], ln1b_ref[li])
+            uc_li = uc_ref[li]                              # (N, 2, width)
+            u0 = uc_li[:, 0, :]
+            u1 = uc_li[:, 1, :]
+            qkv = (jnp.dot(u0, qkv_k_ref[li, 0], preferred_element_type=jnp.float32)
+                   + jnp.dot(u1, qkv_k_ref[li, 1], preferred_element_type=jnp.float32)
+                   + jnp.dot(u, qkv_k_ref[li, 2], preferred_element_type=jnp.float32)
+                   + qkv_b_ref[li])
+            uc_out_ref[li, :, 0] = u1
+            uc_out_ref[li, :, 1] = u
+
+            q_t = to_lane_major(qkv[:, :hh])                # (hd, NH)
+            k_t = to_lane_major(qkv[:, hh:2 * hh])
+            v_t = to_lane_major(qkv[:, 2 * hh:])
+
+            # Stage current k/v and write them to the HBM cache.
+            kt_ref[0, 0] = k_t
+            vt_ref[0, 0] = v_t
+            wk = pltpu.make_async_copy(
+                kt_ref, kc_out_ref.at[li, pl.ds(b, 1), pl.ds(i, 1), :, :],
+                write_sems.at[li, 0])
+            wv = pltpu.make_async_copy(
+                vt_ref, vc_out_ref.at[li, pl.ds(b, 1), pl.ds(i, 1), :, :],
+                write_sems.at[li, 1])
+            wk.start()
+            wv.start()
+            if pattern in (0, 1):
+                # row/col history slices overlap the position being written
+                # (those lanes are masked out, but keep the DMAs ordered).
+                wk.wait()
+                wv.wait()
+
+            logit_cur = jnp.sum(k_t * q_t, axis=0, keepdims=True) * inv_sqrt_hd
+
+            if pattern in (0, 2):  # row / prev_row: one block of history
+                blk = b if pattern == 0 else b_prev
+                rk = pltpu.make_async_copy(
+                    kc_ref.at[li, pl.ds(blk, 1)], khist_ref, read_sems.at[0])
+                rv = pltpu.make_async_copy(
+                    vc_ref.at[li, pl.ds(blk, 1)], vhist_ref, read_sems.at[1])
+                rk.start()
+                rv.start()
+                rk.wait()
+                rv.wait()
+                k_hist = khist_ref[0]                       # (l, hd, NH)
+                v_hist = vhist_ref[0]
+                # logits over keys: (l, NH), lane-parallel over NH
+                logits = jnp.sum(k_hist * jnp.expand_dims(q_t, 0), axis=1) * inv_sqrt_hd
+                if pattern == 0:
+                    # row: history strictly below offset i; current appended.
+                    logits = jnp.where(row_ids < i, logits, neg)
+                    full = jnp.concatenate([logits, logit_cur], axis=0)
+                    w = jax.nn.softmax(full, axis=0)        # (l+1, NH)
+                    w_hist = jnp.expand_dims(
+                        jax.lax.slice_in_dim(w, 0, block_len, axis=0), 1)
+                    w_cur = jax.lax.slice_in_dim(w, block_len, block_len + 1, axis=0)
+                    attn = jnp.sum(w_hist * v_hist, axis=0) + w_cur * v_t
+                else:
+                    # prev_row: whole previous block, no current token; the
+                    # uniform-over-zero-block b==0 case must output zero.
+                    w = jax.nn.softmax(logits, axis=0)
+                    attn = jnp.sum(jnp.expand_dims(w, 1) * v_hist, axis=0)
+                    attn = attn * (b > 0).astype(attn.dtype)
+            else:  # col: column i across all blocks
+                rk = pltpu.make_async_copy(
+                    kc_ref.at[li, :, pl.ds(i, 1)], kcol_ref, read_sems.at[0])
+                rv = pltpu.make_async_copy(
+                    vc_ref.at[li, :, pl.ds(i, 1)], vcol_ref, read_sems.at[1])
+                rk.start()
+                rv.start()
+                rk.wait()
+                rv.wait()
+                k_hist = kcol_ref[:, 0]                     # (blocks, hd, NH)
+                v_hist = vcol_ref[:, 0]
+                logits = jnp.sum(k_hist * jnp.expand_dims(q_t, 0), axis=1) * inv_sqrt_hd
+                logits = jnp.where(blk_ids < b, logits, neg)
+                full = jnp.concatenate([logits, logit_cur], axis=0)
+                w = jax.nn.softmax(full, axis=0)            # (blocks+1, NH)
+                w_hist = jnp.expand_dims(
+                    jax.lax.slice_in_dim(w, 0, blocks, axis=0), 1)
+                w_cur = jax.lax.slice_in_dim(w, blocks, blocks + 1, axis=0)
+                attn = jnp.sum(w_hist * v_hist, axis=0) + w_cur * v_t
+
+            attn_nh = from_lane_major(attn)                 # back to batch-major
+            res1 = (jnp.dot(attn_nh, out_k_ref[li],
+                            preferred_element_type=jnp.float32)
+                    + out_b_ref[li])
+            h = ln(x + res1, ln2s_ref[li], ln2b_ref[li])
+            res2 = jnp.dot(h, mlp_k_ref[li],
+                           preferred_element_type=jnp.float32) + mlp_b_ref[li]
+            x = res2 + res1 + x
+
+            if pattern == 2:  # prev_row overlapped its write with compute
+                wk.wait()
+                wv.wait()
+
+        x_out_ref[:] = x
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("depth", "n", "heads", "hd", "width", "blocks",
+                     "block_len", "patterns", "interpret"))
+def fused_decode_step(
+    scalars: jnp.ndarray,   # (1, 4) int32: [t, b, i, 0]
+    x: jnp.ndarray,         # (N, width) f32
+    uc: jnp.ndarray,        # (depth, N, 2, width) f32
+    kc: jnp.ndarray,        # (depth, blocks, block_len, hd, N*H) f32
+    vc: jnp.ndarray,
+    weights: Tuple[jnp.ndarray, ...],
+    *,
+    depth: int, n: int, heads: int, hd: int, width: int,
+    blocks: int, block_len: int, patterns: Tuple[int, ...],
+    interpret: bool = False,
+):
+    """Runs one full decode step. Returns (x_out, uc, kc, vc) with caches
+    updated in place (aliased)."""
+    nh = n * heads
+    if not interpret:
+        assert nh % LANE == 0, (
+            f"fused decode needs batch*heads % {LANE} == 0, got {nh}")
+    kernel = _make_kernel(depth, n, heads, hd, width, blocks, block_len,
+                          patterns)
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+
+    out = pl.pallas_call(
+        kernel,
+        in_specs=[smem, vmem, vmem, any_spec, any_spec] + [vmem] * 10,
+        out_specs=[vmem, vmem, any_spec, any_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, width), jnp.float32),
+            jax.ShapeDtypeStruct(uc.shape, jnp.float32),
+            jax.ShapeDtypeStruct(kc.shape, jnp.float32),
+            jax.ShapeDtypeStruct(vc.shape, jnp.float32),
+        ],
+        # uc/kc/vc are updated in place: inputs 2,3,4 -> outputs 1,2,3.
+        input_output_aliases={2: 1, 3: 2, 4: 3},
+        scratch_shapes=[
+            pltpu.VMEM((1, block_len, hd, nh), jnp.float32),   # khist
+            pltpu.VMEM((1, block_len, hd, nh), jnp.float32),   # vhist
+            pltpu.VMEM((blocks, 1, hd, nh), jnp.float32),      # kcol
+            pltpu.VMEM((blocks, 1, hd, nh), jnp.float32),      # vcol
+            pltpu.VMEM((1, 1, hd, nh), jnp.float32),           # kt staging
+            pltpu.VMEM((1, 1, hd, nh), jnp.float32),           # vt staging
+            pltpu.SemaphoreType.DMA((2,)),                     # read sems
+            pltpu.SemaphoreType.DMA((depth, 2)),               # write sems
+        ],
+        interpret=interpret,
+        compiler_params=(pltpu.CompilerParams(has_side_effects=True)
+                         if _HAS_PLTPU and not interpret else None),
+    )(scalars, x, uc, kc, vc, *weights)
+    return out

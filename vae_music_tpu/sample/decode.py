@@ -88,6 +88,8 @@ def make_decode_fn(
     top_k: int = 0,
     return_logits: bool = False,
     unroll: int = 1,
+    fused: Optional[bool] = None,
+    fused_interpret: bool = False,
 ):
     """Build a jitted sampler for one prior level.
 
@@ -108,6 +110,11 @@ def make_decode_fn(
     block_len = ctx_len // blocks
     start_token = cfg.bins - 1
     sqrt_d = math.sqrt(float(width))
+    if fused is None:
+        from vae_music_tpu.ops.decode_pallas import decode_pallas_available
+
+        fused = decode_pallas_available(n_samples, heads)
+    patterns = tuple(cfg.attn_pattern(li) for li in range(depth))
 
     def decode(params, rng, x_cond_stream=None, y_cond=None):
         p = params["params"]
@@ -227,12 +234,60 @@ def make_decode_fn(
             return (next_token, tuple(k_cache), tuple(v_cache),
                     tuple(u_cache), step_rng), out
 
+        # --- fused-kernel path: all layers of a step in one Pallas call ----
+        def fused_scan_step(carry, t):
+            token, uc, kc, vc, step_rng = carry
+            b = t // block_len
+            i = t % block_len
+            x = jnp.take(emb, token, axis=0)
+            if y_cond is not None:
+                x = jnp.where(t == 0, y_cond[:, 0].astype(x.dtype), x)
+            x = x * sqrt_d
+            x = x + jax.lax.dynamic_slice_in_dim(pos, t, 1, axis=0)[0]
+            if x_cond_stream is not None:
+                x = x + jax.lax.dynamic_slice_in_dim(x_cond_stream, t, 1, axis=1)[:, 0]
+            scalars = jnp.stack([t, b, i, jnp.int32(0)]).astype(jnp.int32)[None]
+            from vae_music_tpu.ops.decode_pallas import fused_decode_step
+
+            x, uc, kc, vc = fused_decode_step(
+                scalars, x.astype(jnp.float32), uc, kc, vc, fused_weights,
+                depth=depth, n=n_samples, heads=heads, hd=hd, width=width,
+                blocks=blocks, block_len=block_len, patterns=patterns,
+                interpret=fused_interpret)
+            logits = x @ out_k + out_b
+            step_rng, sub = jax.random.split(step_rng)
+            next_token = sample_token(sub, logits, mode, temperature, top_k)
+            out = (next_token, logits) if return_logits else next_token
+            return (next_token, uc, kc, vc, step_rng), out
+
         token0 = jnp.full((n_samples,), start_token, jnp.int32)
-        carry0 = (token0, k_cache0, v_cache0, u_cache0, rng)
-        # unroll=1 measured fastest on TPU v5e (higher unroll inflates the
-        # loop body past what the scheduler overlaps; scan overhead is ~1us).
-        _, outs = jax.lax.scan(scan_step, carry0, jnp.arange(ctx_len),
-                               unroll=min(unroll, ctx_len))
+        if fused:
+            nh = n_samples * heads
+            fused_weights = (
+                jnp.stack([lp["qkv_kernel"] for lp in layers]),
+                jnp.stack([lp["qkv_bias"] for lp in layers]),
+                jnp.stack([lp["out_kernel"] for lp in layers]),
+                jnp.stack([lp["out_bias"] for lp in layers]),
+                jnp.stack([lp["ln1"]["scale"] for lp in layers]),
+                jnp.stack([lp["ln1"]["bias"] for lp in layers]),
+                jnp.stack([lp["ln2"]["scale"] for lp in layers]),
+                jnp.stack([lp["ln2"]["bias"] for lp in layers]),
+                jnp.stack([lp["mlp"]["kernel"] for lp in layers]),
+                jnp.stack([lp["mlp"]["bias"] for lp in layers]),
+            )
+            uc0 = jnp.zeros((depth, n_samples, 2, width), jnp.float32)
+            # lane-major cache layout (see ops/decode_pallas.py docstring)
+            kc0 = jnp.zeros((depth, blocks, block_len, hd, nh), jnp.float32)
+            vc0 = jnp.zeros_like(kc0)
+            carry0 = (token0, uc0, kc0, vc0, rng)
+            _, outs = jax.lax.scan(fused_scan_step, carry0,
+                                   jnp.arange(ctx_len))
+        else:
+            carry0 = (token0, k_cache0, v_cache0, u_cache0, rng)
+            # unroll=1 measured fastest on TPU v5e (higher unroll inflates the
+            # loop body past what the scheduler overlaps; scan overhead ~1us).
+            _, outs = jax.lax.scan(scan_step, carry0, jnp.arange(ctx_len),
+                                   unroll=min(unroll, ctx_len))
         if return_logits:
             sampled, logits = outs
             tokens = jnp.concatenate([token0[:, None], sampled.T], axis=1)
