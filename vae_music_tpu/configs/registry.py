@@ -101,6 +101,7 @@ class PriorConfig:
     teacher_force_rate: float = 0.2       # prior.py:241 scheduled-sampling mix
     warmup_steps: int = 4000              # Noam schedule (multi_head_attention.py:82-101)
     dtype: str = "float32"
+    remat: bool = False                   # rematerialize attention blocks (HBM<->FLOPs)
 
     @property
     def attn_width(self) -> int:

@@ -72,12 +72,19 @@ class FactorizedTransformer(nn.Module):
     m_mlp: float = 1.0
     dropout: float = 0.1
     dtype: jnp.dtype = jnp.float32
+    remat: bool = False   # jax.checkpoint each block: trade FLOPs for HBM
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool = False,
                  collect_weights: bool = False) -> Tuple[jnp.ndarray, Dict]:
         assert x.shape[-1] == self.d_model
         attention_weights: Dict[str, jnp.ndarray] = {}
+
+        def run_block(blk, xx):
+            return blk(xx, train=train)
+
+        if self.remat:
+            run_block = nn.remat(run_block)
         for i in range(self.depth):
             block = ResidualAttnBlock(
                 ctx_len=self.ctx_len, num_heads=self.num_heads,
@@ -90,5 +97,5 @@ class FactorizedTransformer(nn.Module):
                 x, w = block(x, train=train, return_weights=True)
                 attention_weights[f"transformer_layer_{i}_attention"] = w
             else:
-                x = block(x, train=train)
+                x = run_block(block, x)
         return x, attention_weights
