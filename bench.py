@@ -71,18 +71,23 @@ def main():
     # ---- encode: waveform -> codebook tokens ------------------------------
     x = jnp.asarray(np.random.default_rng(0).standard_normal(
         (32, vcfg.sample_length, 1)), jnp.float32)
-    enc = jax.jit(
-        lambda p, c, x: [z.sum() for z in vqvae_encode(p, c, vcfg, x)])
-    zs = enc(sampler.vqvae_params, sampler.codebooks, x)
-    _ = [float(z) for z in zs]
-    iters_enc = 50
-    t0 = time.time()
-    for _ in range(iters_enc):
+    import dataclasses
+
+    def measure_encode(cfg):
+        enc = jax.jit(
+            lambda p, c, xx: [z.sum() for z in vqvae_encode(p, c, cfg, xx)])
         zs = enc(sampler.vqvae_params, sampler.codebooks, x)
-    _ = [float(z) for z in zs]
-    enc_dt = (time.time() - t0) / iters_enc
-    tokens = sum(x.shape[0] * zl for zl in vcfg.z_lengths)
-    tokens_per_sec = tokens / enc_dt
+        _ = [float(z) for z in zs]
+        t0 = time.time()
+        for _ in range(50):
+            zs = enc(sampler.vqvae_params, sampler.codebooks, x)
+        _ = [float(z) for z in zs]
+        enc_dt = (time.time() - t0) / 50
+        return sum(x.shape[0] * zl for zl in cfg.z_lengths) / enc_dt
+
+    tokens_per_sec = measure_encode(vcfg)
+    tokens_per_sec_bf16 = measure_encode(
+        dataclasses.replace(vcfg, dtype="bfloat16"))
 
     baseline = _load_baseline()
     vs_baseline = (clips_per_sec / baseline["clips_per_sec"]) if baseline else 0.0
@@ -98,6 +103,7 @@ def main():
             "batch": n_samples,
             "audio_seconds_per_batch": audio_seconds,
             "encode_tokens_per_sec": round(tokens_per_sec),
+            "encode_tokens_per_sec_bf16": round(tokens_per_sec_bf16),
             "encode_vs_baseline": round(enc_vs, 2),
             "device": str(jax.devices()[0]),
         },

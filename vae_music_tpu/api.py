@@ -180,6 +180,25 @@ class Prior:
                   if (y is not None and self._labels) else None)
         return self._decoders[key](self.state.params, rng, x_cond, y_cond)
 
+    def random_sample(self, seq_length: Optional[int] = None,
+                      iterations: int = 10, batch_per_iter: int = 4,
+                      token_freq: float = 0.50,
+                      rng: Optional[jax.Array] = None):
+        """Best-of-N random-search sampling
+        (autoregressive_fmha.py:242-302).  Returns (best_tokens, best_loss)."""
+        from vae_music_tpu.sample.search import make_score_fn, random_sample
+
+        if rng is None:
+            self._rng, rng = jax.random.split(self._rng)
+        key = (batch_per_iter, SampleMode.GUMBEL)
+        if key not in self._decoders:
+            self._decoders[key] = make_decode_fn(self.cfg, self.context_length,
+                                                 batch_per_iter)
+        score = make_score_fn(self.model)
+        return random_sample(self._decoders[key], score, self.state.params,
+                             rng, bins=self.cfg.bins, iterations=iterations,
+                             token_freq=token_freq)
+
 
 class VQVAESampler:
     """Multi-level ancestral sampler facade (Sampler.py:10-109)."""

@@ -58,17 +58,27 @@ def train_vqvae(
     state: Optional[VQVAETrainState] = None,
     monitor: Optional[VQVAEMonitor] = None,
     sharding=None,
+    guard_nan: bool = False,
 ) -> VQVAETrainState:
+    """``guard_nan`` adds failure recovery (SURVEY.md §5): a step producing a
+    non-finite loss is discarded and training resumes from the pre-step state
+    (the reference's only recovery story is "restore the checkpoint and
+    rerun")."""
     rng = jax.random.PRNGKey(seed)
     if state is None:
         params, codebooks = init_vqvae(rng, cfg)
         state = VQVAETrainState.create(params, codebooks,
                                        optax.adam(learning_rate))
-    step_fn = make_vqvae_train_step(cfg)
+    step_fn = make_vqvae_train_step(cfg, donate=not guard_nan)
     np_rng = np.random.default_rng(seed)
     for epoch in range(epochs):
         for xb, _ in _batches(x_train, None, batch_size, np_rng, sharding):
-            state, metrics = step_fn(state, xb, rng)
+            new_state, metrics = step_fn(state, xb, rng)
+            if guard_nan and not np.isfinite(float(metrics["loss"])):
+                print(f"[guard_nan] non-finite loss at step {int(state.step)}; "
+                      "discarding update")
+                continue
+            state = new_state
             if monitor is not None:
                 monitor.on_step(int(state.step), metrics)
         if monitor is not None:

@@ -98,6 +98,7 @@ class PriorMonitor:
         eval_fn: Optional[Callable] = None,       # (state, audio, labels) -> metrics
         val_batch=None,
         sample_fn: Optional[Callable] = None,     # (state, rng) -> waveform batch
+        attn_fn: Optional[Callable] = None,       # (state, audio, labels) -> {name: (N,H,L,L)}
         ckpt_interval: int = 20,
         val_interval: int = 10,
         sample_interval: int = 50,
@@ -108,6 +109,7 @@ class PriorMonitor:
         self.eval_fn = eval_fn
         self.val_batch = val_batch
         self.sample_fn = sample_fn
+        self.attn_fn = attn_fn
         self.ckpt_interval = ckpt_interval
         self.val_interval = val_interval
         self.sample_interval = sample_interval
@@ -133,6 +135,18 @@ class PriorMonitor:
                              {k: float(v) for k, v in
                               self.eval_fn(state, audio, labels).items()},
                              prefix="val_")
+
+        if (self.attn_fn is not None and self.val_batch is not None
+                and epoch % self.val_interval == 0):
+            # attention heatmaps of first/last layer (monitors.py:88-155)
+            from vae_music_tpu.utils.inspect import plot_attention_weights
+
+            audio, labels = self.val_batch
+            for name, w in self.attn_fn(state, audio, labels).items():
+                plot_attention_weights(
+                    np.asarray(w)[0],
+                    os.path.join(self.out_dir, "attention",
+                                 f"epoch{epoch}_{name}.png"), name)
 
         if (self.sample_fn is not None and rng is not None
                 and epoch % self.sample_interval == 0):
