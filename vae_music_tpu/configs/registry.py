@@ -200,12 +200,26 @@ def _full_pipeline() -> SamplerConfig:
     return SamplerConfig(vqvae=_gtzan_vqvae(), genre_classes=10)
 
 
+def _jukebox_small_prior() -> PriorConfig:
+    # Production-scale geometry matching the Jukebox SMALL_PRIOR dump
+    # (/root/reference/SMALL_PRIOR_model_structuree: width 1024, 48 blocks,
+    # Embedding(2048,1024), ~160-200M params).  bf16 + remat: trains at
+    # ~44k tokens/s on one v5e chip (batch 4, ctx 8192); shard 'model' for
+    # larger batches.
+    return PriorConfig(
+        level=0, levels=1, bins=2049, width=1024, depth=48, heads=2,
+        blocks=8, attn_stacks=1, dropout=0.0, genre_classes=None,
+        dtype="bfloat16", remat=True,
+    )
+
+
 CONFIGS = {
     "SMALL_VQ_VAE": _small_vq_vae,
     "GTZAN_VQVAE": _gtzan_vqvae,
     "SMALL_PRIOR": _small_prior,
     "SMALL_UPSAMPLER": _small_upsampler,
     "FULL_PIPELINE": _full_pipeline,
+    "JUKEBOX_SMALL_PRIOR": _jukebox_small_prior,
 }
 
 
