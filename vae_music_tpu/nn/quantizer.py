@@ -72,6 +72,36 @@ def codebook_lookup(codes: jnp.ndarray, embeddings: jnp.ndarray) -> jnp.ndarray:
     return jnp.take(embeddings.T, codes, axis=0, mode="fill", fill_value=0.0)
 
 
+def rotate_to(z: jnp.ndarray, q: jnp.ndarray) -> jnp.ndarray:
+    """Rotation-trick forward: returns q, but gradients flow through the
+    (stop-gradiented) rotation+scaling that carries z onto q, preserving the
+    angular relation between the gradient and the codebook vector
+    (arXiv:2410.06424 'Restructuring Vector Quantization with the Rotation
+    Trick').  An alternative to the straight-through estimator.
+
+    z, q: (N, D).  Uses R = I - (a+b)(a+b)^T/(1+a.b) + 2 b a^T with
+    a = z/|z|, b = q/|q|, applied as vector ops (no DxD materialization).
+    """
+    eps = 1e-8
+    zn = jnp.linalg.norm(z, axis=-1, keepdims=True)
+    qn = jnp.linalg.norm(q, axis=-1, keepdims=True)
+    a = z / (zn + eps)
+    b = q / (qn + eps)
+    s = a + b
+    denom = 1.0 + jnp.sum(a * b, axis=-1, keepdims=True)
+    # R z = z - s (s.z)/(1+a.b) + 2 b (a.z); R is a CONSTANT in the backward
+    # pass (every factor detached), gradient flows through the explicit z.
+    s_c = jax.lax.stop_gradient(s)
+    a_c = jax.lax.stop_gradient(a)
+    sz = jnp.sum(s_c * z, axis=-1, keepdims=True)
+    az = jnp.sum(a_c * z, axis=-1, keepdims=True)
+    rz = z - jax.lax.stop_gradient(s / (denom + eps)) * sz \
+        + 2.0 * jax.lax.stop_gradient(b) * az
+    # scale |q|/|z| (detached) so the forward value equals q exactly
+    scale = jax.lax.stop_gradient(qn / (zn + eps))
+    return scale * rz
+
+
 def _restart_candidates(rng: jax.Array, flat: jnp.ndarray, k: int) -> jnp.ndarray:
     """Random batch vectors for dead-code restart: tile (if N<K) then shuffle,
     take K (VectorQuantizer.py:135-137,191-198). Returns (D, K)."""
@@ -93,31 +123,58 @@ def quantize(
     usage_threshold: float = 1.0,
     train: bool = True,
     rng: Optional[jax.Array] = None,
+    gradient_mode: str = "ste",
+    use_pallas: bool = False,
 ) -> VQOutput:
     """Quantize encoder outputs ``z_e`` of shape (..., D).
 
     When ``train`` is True, also computes the EMA codebook update and the
     dead-code restart (requires ``rng``), returning the new state.
+
+    ``gradient_mode``: 'ste' — straight-through estimator (the reference's
+    VectorQuantizer.py:114); 'rotation' — the rotation trick
+    (arXiv:2410.06424): same forward values, gradients carried through the
+    rotation aligning z_e with its code.
+
+    ``use_pallas``: route assignment + EMA statistics through the fused
+    single-pass TPU kernel (ops/vq_pallas.py).  Opt-in: the kernel wins at
+    large N (>=2x at 256k rows) but does not auto-partition under GSPMD
+    sharding — use for single-chip encode/serving paths.
     """
     d, k = state.embeddings.shape
     orig_shape = z_e.shape
     flat = z_e.reshape(-1, d).astype(jnp.float32)
 
-    codes = nearest_code(flat, state.embeddings)
-    quantized = codebook_lookup(codes, state.embeddings)
+    pallas_stats = None
+    if use_pallas:
+        from vae_music_tpu.ops.vq_pallas import fused_vq_assign
+
+        codes, quantized, m_b, n_b = fused_vq_assign(
+            jax.lax.stop_gradient(flat), state.embeddings)
+        pallas_stats = (jax.lax.stop_gradient(m_b), n_b)
+    else:
+        codes = nearest_code(flat, state.embeddings)
+        quantized = codebook_lookup(codes, state.embeddings)
 
     commitment = beta * jnp.mean(jnp.square(jax.lax.stop_gradient(quantized) - flat))
-    # Straight-through: gradients of `quantized` copy to the encoder output.
-    quantized_st = flat + jax.lax.stop_gradient(quantized - flat)
+    if gradient_mode == "rotation":
+        quantized_st = rotate_to(flat, quantized)
+    else:
+        # Straight-through: gradients of `quantized` copy to the encoder output.
+        quantized_st = flat + jax.lax.stop_gradient(quantized - flat)
 
     metrics: dict = {}
     new_state = state
     if train:
         assert rng is not None, "training quantize() needs an rng for dead-code restart"
-        onehot = jax.nn.one_hot(codes, k, dtype=jnp.float32)  # (N, K)
-        # Batch cluster statistics — global sums under a sharded train step.
-        m_t_batch = jnp.dot(flat.T, onehot, preferred_element_type=jnp.float32)  # (D, K)
-        n_t_batch = jnp.sum(onehot, axis=0)                                      # (K,)
+        if pallas_stats is not None:
+            m_t_batch, n_t_batch = pallas_stats
+        else:
+            onehot = jax.nn.one_hot(codes, k, dtype=jnp.float32)  # (N, K)
+            # Batch cluster statistics — global sums under a sharded train step.
+            m_t_batch = jnp.dot(flat.T, onehot,
+                                preferred_element_type=jnp.float32)  # (D, K)
+            n_t_batch = jnp.sum(onehot, axis=0)                      # (K,)
 
         m_t = decay * state.m_t + (1.0 - decay) * jax.lax.stop_gradient(m_t_batch)
         n_t = decay * state.N_t + (1.0 - decay) * n_t_batch
