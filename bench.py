@@ -89,6 +89,17 @@ def main():
     tokens_per_sec_bf16 = measure_encode(
         dataclasses.replace(vcfg, dtype="bfloat16"))
 
+    # ---- bf16 serving chain (conv stacks in bfloat16, f32 params) ---------
+    sampler_bf16 = AncestralSampler.from_config(scfg, rng, serve_dtype="bfloat16")
+    wav = sampler_bf16.sample_audio(n_samples, jax.random.PRNGKey(9), y_genre=y)
+    _ = float(jnp.sum(wav))
+    t0 = time.time()
+    for i in range(iters):
+        wav = sampler_bf16.sample_audio(n_samples, jax.random.PRNGKey(10 + i),
+                                        y_genre=y)
+    _ = float(jnp.sum(wav))
+    clips_per_sec_bf16 = audio_seconds / ((time.time() - t0) / iters)
+
     baseline = _load_baseline()
     vs_baseline = (clips_per_sec / baseline["clips_per_sec"]) if baseline else 0.0
     enc_vs = (tokens_per_sec / baseline["encode_tokens_per_sec"]) if baseline else 0.0
@@ -100,6 +111,7 @@ def main():
         "vs_baseline": round(vs_baseline, 2),
         "extra": {
             "generate_wall_sec_per_batch": round(gen_dt, 3),
+            "generate_clips_per_sec_bf16_serving": round(clips_per_sec_bf16, 1),
             "batch": n_samples,
             "audio_seconds_per_batch": audio_seconds,
             "encode_tokens_per_sec": round(tokens_per_sec),

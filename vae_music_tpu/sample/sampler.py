@@ -40,6 +40,7 @@ class AncestralSampler:
         mode: SampleMode = SampleMode.GUMBEL,
         temperature: float = 1.0,
         top_k: int = 0,
+        serve_dtype: Optional[str] = None,   # e.g. 'bfloat16' for the conv stacks
     ):
         assert len(prior_cfgs) == vqvae_cfg.levels
         self.vqvae_cfg = vqvae_cfg
@@ -53,6 +54,7 @@ class AncestralSampler:
         self.mode = mode
         self.temperature = temperature
         self.top_k = top_k
+        self.serve_dtype = serve_dtype
         self._decode_fns: Dict = {}
         self._cond_fns: Dict = {}
         self._label_fns: Dict = {}
@@ -87,15 +89,27 @@ class AncestralSampler:
     def _cond_upsampler(self, level: int):
         if level not in self._cond_fns:
             model = self.models[level]
+            if self.serve_dtype is not None:
+                import dataclasses
+
+                cfg = dataclasses.replace(self.prior_cfgs[level],
+                                          dtype=self.serve_dtype)
+                model = build_fmha_prior(self.vqvae_cfg, cfg)
             self._cond_fns[level] = jax.jit(
-                lambda p, z: model.apply(p, z, method=FMHAPrior.upsample_cond))
+                lambda p, z: model.apply(p, z, method=FMHAPrior.upsample_cond)
+                .astype(jnp.float32))
         return self._cond_fns[level]
 
     def _vq_decoder(self, level: int):
         if level not in self._vq_decode_fns:
+            import dataclasses
+
             cfg = self.vqvae_cfg
+            if self.serve_dtype is not None:
+                cfg = dataclasses.replace(cfg, dtype=self.serve_dtype)
             self._vq_decode_fns[level] = jax.jit(
-                lambda p, cbs, z: vqvae_decode(p, cbs, cfg, z, level))
+                lambda p, cbs, z: vqvae_decode(p, cbs, cfg, z, level)
+                .astype(jnp.float32))
         return self._vq_decode_fns[level]
 
     def _label_embedder(self, level: int):
