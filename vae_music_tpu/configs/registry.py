@@ -9,7 +9,6 @@ The reference keeps hyper-parameters in literal dicts scattered through
 from __future__ import annotations
 
 import dataclasses
-import math
 from dataclasses import dataclass
 from typing import Optional, Tuple
 

@@ -8,7 +8,6 @@ development/benchmarking when GTZAN is not on disk.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

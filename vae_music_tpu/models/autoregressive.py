@@ -13,7 +13,6 @@ Mirror of /root/reference/autoregressive.py (the pre-Jukebox baseline prior):
 from __future__ import annotations
 
 import math
-from typing import Optional
 
 import flax.linen as nn
 import jax

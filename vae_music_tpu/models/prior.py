@@ -24,7 +24,7 @@ reference re-runs the full prefix per token (autoregressive_fmha.py:199-203).
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional, Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax

@@ -29,7 +29,6 @@ from __future__ import annotations
 
 import enum
 import math
-from functools import partial
 from typing import Optional
 
 import jax

@@ -29,7 +29,7 @@ from vae_music_tpu.train.prior_step import (
     make_prior_train_step,
 )
 from vae_music_tpu.train.state import PriorTrainState, VQVAETrainState
-from vae_music_tpu.train.vqvae_step import make_vqvae_eval_step, make_vqvae_train_step
+from vae_music_tpu.train.vqvae_step import make_vqvae_train_step
 
 
 def _batches(x: np.ndarray, y: Optional[np.ndarray], batch_size: int,
