@@ -49,18 +49,19 @@ def main():
     rng = jax.random.PRNGKey(0)
     sampler = AncestralSampler.from_config(scfg, rng)
 
-    # ---- generation: full ancestral chain ---------------------------------
+    # ---- generation: full ancestral chain (ONE jitted XLA program) --------
     # NOTE: on the tunneled TPU backend block_until_ready() does not reliably
     # wait for remote execution; a scalar host fetch does.  All timings below
     # force completion by fetching a reduction of the result.
     y = jnp.zeros((n_samples,), jnp.int32)
-    wav = sampler.sample_audio(n_samples, jax.random.PRNGKey(1), y_genre=y)
+    chain = sampler.compile_chain(n_samples)
+    wav = chain(jax.random.PRNGKey(1), y)
     _ = float(jnp.sum(wav))  # compile + warm-up + forced completion
 
-    iters = 3
+    iters = 5
     t0 = time.time()
     for i in range(iters):
-        wav = sampler.sample_audio(n_samples, jax.random.PRNGKey(2 + i), y_genre=y)
+        wav = chain(jax.random.PRNGKey(2 + i), y)
     # Device executions are in-order: fetching the last result's sum waits
     # for every queued iteration, amortizing the tunnel RTT over `iters`.
     _ = float(jnp.sum(wav))
@@ -91,12 +92,12 @@ def main():
 
     # ---- bf16 serving chain (conv stacks in bfloat16, f32 params) ---------
     sampler_bf16 = AncestralSampler.from_config(scfg, rng, serve_dtype="bfloat16")
-    wav = sampler_bf16.sample_audio(n_samples, jax.random.PRNGKey(9), y_genre=y)
+    chain_bf16 = sampler_bf16.compile_chain(n_samples)
+    wav = chain_bf16(jax.random.PRNGKey(9), y)
     _ = float(jnp.sum(wav))
     t0 = time.time()
     for i in range(iters):
-        wav = sampler_bf16.sample_audio(n_samples, jax.random.PRNGKey(10 + i),
-                                        y_genre=y)
+        wav = chain_bf16(jax.random.PRNGKey(10 + i), y)
     _ = float(jnp.sum(wav))
     clips_per_sec_bf16 = audio_seconds / ((time.time() - t0) / iters)
 

@@ -162,3 +162,59 @@ class AncestralSampler:
         zs = self.sample_codes(n_samples, rng, y_genre)
         return self._vq_decoder(decode_level)(self.vqvae_params, self.codebooks,
                                               zs[decode_level])
+
+    def compile_chain(self, n_samples: int, with_labels: bool = True):
+        """Build ONE jitted end-to-end program for the whole ancestral chain
+        (top sample -> upsample cond -> ... -> VQ decode): a single XLA
+        executable for serving, no inter-stage dispatch.
+
+        Returns fn(rng[, y_genre]) -> waveform (N, T, C); prior/VQ-VAE params
+        are closed over as compile-time constants.
+        """
+        from vae_music_tpu.sample.decode import make_decode_fn
+
+        import dataclasses
+
+        decode_fns = [
+            make_decode_fn(self.prior_cfgs[l], self.specs[l].ctx_len,
+                           n_samples, mode=self.mode,
+                           temperature=self.temperature, top_k=self.top_k)
+            for l in range(self.levels)
+        ]
+        prior_params = self.prior_params
+        vq_params, codebooks = self.vqvae_params, self.codebooks
+        cfg = self.vqvae_cfg
+        cond_models = self.models
+        if self.serve_dtype is not None:
+            cfg = dataclasses.replace(cfg, dtype=self.serve_dtype)
+            cond_models = [
+                build_fmha_prior(self.vqvae_cfg,
+                                 dataclasses.replace(c, dtype=self.serve_dtype))
+                for c in self.prior_cfgs
+            ]
+
+        def chain(rng, y_genre=None):
+            zs: List = [None] * self.levels
+            for level in reversed(range(self.levels)):
+                spec = self.specs[level]
+                rng, step_rng = jax.random.split(rng)
+                x_cond = None
+                if spec.cond_downsample_rate is not None:
+                    z_cond = get_cond(zs, spec, 0, spec.ctx_len)
+                    x_cond = cond_models[level].apply(
+                        prior_params[level], z_cond,
+                        method=FMHAPrior.upsample_cond).astype(jnp.float32)
+                y_cond = None
+                if y_genre is not None and self.prior_cfgs[level].genre_classes:
+                    y_cond = self.models[level].apply(
+                        prior_params[level], y_genre,
+                        method=FMHAPrior.embed_labels)
+                tokens = decode_fns[level](prior_params[level], step_rng,
+                                           x_cond, y_cond)
+                zs[level] = tokens[:, 1:]
+            return vqvae_decode(vq_params, codebooks, cfg, zs[0], 0).astype(
+                jnp.float32)
+
+        if with_labels:
+            return jax.jit(chain)
+        return jax.jit(lambda rng: chain(rng, None))
