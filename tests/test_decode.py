@@ -26,20 +26,26 @@ def _vqvae_cfg():
 
 def _prior_cfg(level, cond=False, **kw):
     kw.setdefault("attn_stacks", 1)
+    kw.setdefault("heads", 2)
+    kw.setdefault("depth", 3)
+    kw.setdefault("blocks", 4)
     return PriorConfig(
-        level=level, levels=2, bins=17, width=32, depth=3, heads=2, blocks=4,
-        dropout=0.0, genre_classes=10,
+        level=level, levels=2, bins=17, width=32, dropout=0.0,
+        genre_classes=10,
         conditioner=ConditionerConfig(residual_depth=2) if cond else None, **kw)
 
 
-@pytest.mark.parametrize("level,cond,attn_stacks", [
-    (1, False, 1),   # top prior, row/col/prev_row schedule
-    (0, True, 1),    # upsampler with x_cond
-    (1, False, 0),   # row/col schedule
+@pytest.mark.parametrize("level,cond,kw", [
+    (1, False, {}),                      # top prior, row/col/prev_row schedule
+    (0, True, {}),                       # upsampler with x_cond
+    (1, False, {"attn_stacks": 0}),      # row/col schedule
+    (1, False, {"heads": 1}),            # single head
+    (1, False, {"pos_emb": False}),      # sinusoidal positions
+    (1, False, {"blocks": 8, "depth": 4}),  # different grid
 ])
-def test_decode_logits_equal_full_forward(level, cond, attn_stacks):
+def test_decode_logits_equal_full_forward(level, cond, kw):
     vcfg = _vqvae_cfg()
-    pcfg = _prior_cfg(level, cond, attn_stacks=attn_stacks)
+    pcfg = _prior_cfg(level, cond, **kw)
     model, params = init_prior(jax.random.PRNGKey(1), vcfg, pcfg)
     spec = level_spec(vcfg, level)
     n = 3
