@@ -117,6 +117,25 @@ def test_ancestral_sampler_chain():
     assert wav2.shape == (2, vcfg.sample_length, 1)
 
 
+def test_compile_chain_matches_stepwise_sampler():
+    """The single-jit serving chain must equal the stepwise sample_audio."""
+    vcfg = _vqvae_cfg()
+    scfg = SamplerConfig(vqvae=vcfg, prior_width=32, prior_depth=3,
+                         prior_heads=2, prior_blocks=4, genre_classes=10,
+                         conditioner=ConditionerConfig(residual_depth=2))
+    sampler = AncestralSampler.from_config(scfg, jax.random.PRNGKey(0))
+    y = jnp.array([0, 1])
+    chain = sampler.compile_chain(2)
+    wav_chain = chain(jax.random.PRNGKey(5), y)
+    wav_step = sampler.sample_audio(2, jax.random.PRNGKey(5), y_genre=y)
+    np.testing.assert_allclose(np.asarray(wav_chain), np.asarray(wav_step),
+                               rtol=1e-5, atol=1e-5)
+    # unconditional variant
+    chain_u = sampler.compile_chain(2, with_labels=False)
+    wav_u = chain_u(jax.random.PRNGKey(6))
+    assert wav_u.shape == (2, vcfg.sample_length, 1)
+
+
 def test_sampler_determinism_per_seed():
     vcfg = _vqvae_cfg()
     scfg = SamplerConfig(vqvae=vcfg, prior_width=32, prior_depth=3, prior_heads=2,
