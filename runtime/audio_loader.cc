@@ -210,3 +210,130 @@ long vmt_load_batch(const char** paths, long n_files, int target_sr,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Background batch prefetcher: a thread pool decodes+resamples WAV batches
+// into a bounded ring buffer ahead of the consumer, so host IO overlaps
+// device compute (the reference loads everything eagerly in Python via
+// librosa, data_utils.py:100-136).
+// ---------------------------------------------------------------------------
+
+#include <condition_variable>
+#include <deque>
+#include <mutex>
+#include <random>
+
+namespace {
+
+struct Prefetcher {
+  std::vector<std::string> paths;
+  int target_sr = 0;
+  long max_len = 0;
+  long batch = 0;
+  bool shuffle = true;
+  uint64_t seed = 0;
+
+  std::mutex mu;
+  std::condition_variable not_full, not_empty;
+  std::deque<std::vector<float>> ready;  // each: batch * max_len samples
+  size_t capacity = 4;
+  bool stop = false;
+  std::vector<std::thread> workers;
+
+  std::mutex order_mu;
+  std::vector<size_t> order;
+  size_t next_idx = 0;
+  std::mt19937_64 rng;
+
+  // Hand out the next batch's file indices (reshuffling each epoch).
+  std::vector<size_t> take_batch_indices() {
+    std::lock_guard<std::mutex> l(order_mu);
+    std::vector<size_t> idx;
+    idx.reserve(batch);
+    for (long i = 0; i < batch; ++i) {
+      if (next_idx >= order.size()) {
+        if (shuffle) std::shuffle(order.begin(), order.end(), rng);
+        next_idx = 0;
+      }
+      idx.push_back(order[next_idx++]);
+    }
+    return idx;
+  }
+
+  void worker_loop() {
+    for (;;) {
+      {
+        std::unique_lock<std::mutex> l(mu);
+        not_full.wait(l, [&] { return stop || ready.size() < capacity; });
+        if (stop) return;
+      }
+      std::vector<size_t> idx = take_batch_indices();
+      std::vector<float> buf(static_cast<size_t>(batch) * max_len, 0.0f);
+      for (long i = 0; i < batch; ++i) {
+        long len = 0;
+        vmt_load_wav_resampled(paths[idx[i]].c_str(), target_sr, max_len,
+                               buf.data() + i * max_len, max_len, &len);
+      }
+      {
+        std::unique_lock<std::mutex> l(mu);
+        if (stop) return;
+        if (ready.size() >= capacity) continue;  // raced; drop and retry
+        ready.push_back(std::move(buf));
+      }
+      not_empty.notify_one();
+    }
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+void* vmt_prefetcher_create(const char** paths, long n_files, int target_sr,
+                            long max_len, long batch, int n_threads,
+                            int shuffle, uint64_t seed) {
+  auto* p = new Prefetcher();
+  p->paths.assign(paths, paths + n_files);
+  p->target_sr = target_sr;
+  p->max_len = max_len;
+  p->batch = batch;
+  p->shuffle = shuffle != 0;
+  p->rng.seed(seed);
+  p->order.resize(n_files);
+  for (long i = 0; i < n_files; ++i) p->order[i] = i;
+  if (p->shuffle) std::shuffle(p->order.begin(), p->order.end(), p->rng);
+  if (n_threads <= 0) n_threads = 2;
+  for (int t = 0; t < n_threads; ++t)
+    p->workers.emplace_back([p] { p->worker_loop(); });
+  return p;
+}
+
+// Blocks until a prefetched batch is available; copies batch*max_len floats.
+int vmt_prefetcher_next(void* handle, float* out) {
+  auto* p = static_cast<Prefetcher*>(handle);
+  std::vector<float> buf;
+  {
+    std::unique_lock<std::mutex> l(p->mu);
+    p->not_empty.wait(l, [&] { return p->stop || !p->ready.empty(); });
+    if (p->stop && p->ready.empty()) return 1;
+    buf = std::move(p->ready.front());
+    p->ready.pop_front();
+  }
+  p->not_full.notify_all();
+  std::memcpy(out, buf.data(), buf.size() * sizeof(float));
+  return 0;
+}
+
+void vmt_prefetcher_destroy(void* handle) {
+  auto* p = static_cast<Prefetcher*>(handle);
+  {
+    std::lock_guard<std::mutex> l(p->mu);
+    p->stop = true;
+  }
+  p->not_full.notify_all();
+  p->not_empty.notify_all();
+  for (auto& t : p->workers) t.join();
+  delete p;
+}
+
+}  // extern "C"

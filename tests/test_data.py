@@ -143,3 +143,25 @@ def test_vq_pallas_interpret_matches_reference():
     np.testing.assert_allclose(np.asarray(m_b), np.asarray(flat).T @ onehot,
                                rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(n_b), onehot.sum(0), atol=1e-5)
+
+
+@pytest.mark.skipif(not native.available(), reason="native loader not built")
+def test_native_prefetcher(tmp_path):
+    sr = 6000
+    t = np.linspace(0, 1, sr, endpoint=False)
+    paths = []
+    for i in range(5):
+        p = tmp_path / f"p{i}.wav"
+        _write_wav(p, (0.1 * (i + 1)) * np.sin(2 * np.pi * 200 * t), sr=sr)
+        paths.append(str(p))
+    pf = native.BatchPrefetcher(paths, target_sr=3000, max_len=3000,
+                                batch=2, n_threads=2, seed=7)
+    seen_amplitudes = set()
+    for _ in range(6):  # > one epoch: prefetcher must reshuffle and continue
+        b = pf.next_batch()
+        assert b.shape == (2, 3000, 1)
+        assert np.isfinite(b).all()
+        for row in b[..., 0]:
+            seen_amplitudes.add(round(float(np.abs(row).max()), 1))
+    pf.close()
+    assert len(seen_amplitudes) >= 3  # multiple distinct files served

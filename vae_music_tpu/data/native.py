@@ -56,6 +56,17 @@ def _load_lib() -> Optional[ctypes.CDLL]:
                     ctypes.c_double, ctypes.c_double,
                     ctypes.POINTER(ctypes.c_float), ctypes.c_long,
                 ]
+                lib.vmt_prefetcher_create.restype = ctypes.c_void_p
+                lib.vmt_prefetcher_create.argtypes = [
+                    ctypes.POINTER(ctypes.c_char_p), ctypes.c_long,
+                    ctypes.c_int, ctypes.c_long, ctypes.c_long,
+                    ctypes.c_int, ctypes.c_int, ctypes.c_uint64,
+                ]
+                lib.vmt_prefetcher_next.restype = ctypes.c_int
+                lib.vmt_prefetcher_next.argtypes = [
+                    ctypes.c_void_p, ctypes.POINTER(ctypes.c_float)]
+                lib.vmt_prefetcher_destroy.restype = None
+                lib.vmt_prefetcher_destroy.argtypes = [ctypes.c_void_p]
                 _lib = lib
                 break
             except OSError:
@@ -105,6 +116,50 @@ def split_windows(signal: np.ndarray, window: float, overlap: float) -> np.ndarr
 
 def available() -> bool:
     return _load_lib() is not None
+
+
+class BatchPrefetcher:
+    """Native background batch pipeline: a C++ thread pool decodes+resamples
+    WAV batches into a bounded ring buffer ahead of the consumer, overlapping
+    host IO with device compute.  Iterate with next_batch(); batches are
+    reshuffled each epoch on the native side.
+    """
+
+    def __init__(self, paths, target_sr: int, max_len: int, batch: int,
+                 n_threads: int = 2, shuffle: bool = True, seed: int = 0):
+        lib = _load_lib()
+        if lib is None:
+            raise RuntimeError("native audio loader not built (make -C runtime)")
+        self._lib = lib
+        self.batch = batch
+        self.max_len = max_len
+        self._paths = [p.encode() for p in paths]  # keep alive
+        c_paths = (ctypes.c_char_p * len(self._paths))(*self._paths)
+        self._handle = lib.vmt_prefetcher_create(
+            c_paths, len(self._paths), target_sr, max_len, batch,
+            n_threads, int(shuffle), seed)
+        if not self._handle:
+            raise RuntimeError("failed to create native prefetcher")
+
+    def next_batch(self) -> np.ndarray:
+        """Blocks until a prefetched (batch, max_len, 1) float32 batch is ready."""
+        out = np.empty((self.batch, self.max_len), np.float32)
+        rc = self._lib.vmt_prefetcher_next(
+            self._handle, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+        if rc != 0:
+            raise StopIteration("prefetcher stopped")
+        return out[..., None]
+
+    def close(self):
+        if self._handle:
+            self._lib.vmt_prefetcher_destroy(self._handle)
+            self._handle = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
 
 
 def load_wav(path: str) -> Tuple[np.ndarray, int]:
