@@ -145,3 +145,29 @@ def test_sampler_determinism_per_seed():
     z2 = sampler.sample_codes(2, jax.random.PRNGKey(7))
     for a, b in zip(z1, z2):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_primed_continuation_decoding():
+    """prime tokens are teacher-forced; the continuation is consistent with a
+    greedy full-forward given the primed prefix."""
+    vcfg = _vqvae_cfg()
+    pcfg = _prior_cfg(1)
+    from vae_music_tpu.train.prior_step import init_prior
+
+    model, params = init_prior(jax.random.PRNGKey(1), vcfg, pcfg)
+    ctx = vcfg.z_lengths[1]
+    n, p_len = 2, 10
+    prime = jax.random.randint(jax.random.PRNGKey(4), (n, p_len), 0, 16)
+    dec = make_decode_fn(pcfg, ctx, n, mode=SampleMode.GREEDY,
+                         return_logits=True, prime_len=p_len)
+    tokens, logits = dec(params, jax.random.PRNGKey(2), None, None, prime)
+    # positions 1..P echo the prime
+    np.testing.assert_array_equal(np.asarray(tokens[:, 1 : p_len + 1]),
+                                  np.asarray(prime))
+    # and the whole sequence (prime + continuation) is full-forward-consistent
+    full_logits, _ = model.apply(params, tokens[:, :-1])
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(full_logits),
+                               rtol=1e-4, atol=2e-4)
+    np.testing.assert_array_equal(
+        np.asarray(jnp.argmax(full_logits[:, p_len:], -1)),
+        np.asarray(tokens[:, p_len + 1 :]))

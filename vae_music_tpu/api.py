@@ -163,22 +163,30 @@ class Prior:
 
     def sample(self, n_samples: int, z_cond=None, y=None,
                rng: Optional[jax.Array] = None,
-               mode: SampleMode = SampleMode.GUMBEL) -> jnp.ndarray:
+               mode: SampleMode = SampleMode.GUMBEL,
+               prime=None) -> jnp.ndarray:
         """Sample one context window of codes (prior.py:374-408).
 
+        ``prime`` (n_samples, P) int codes teacher-force the first P positions
+        (continuation sampling — the reference stubs this, Sampler.py:111-119).
         Returns (n_samples, ctx_len + 1) tokens incl. the start token.
         """
         if rng is None:
             self._rng, rng = jax.random.split(self._rng)
-        key = (n_samples, mode)
+        prime_len = 0 if prime is None else int(prime.shape[1])
+        key = (n_samples, mode, prime_len)
         if key not in self._decoders:
             self._decoders[key] = make_decode_fn(self.cfg, self.context_length,
-                                                 n_samples, mode=mode)
+                                                 n_samples, mode=mode,
+                                                 prime_len=prime_len)
         x_cond = (self._cond(self.state.params, jnp.asarray(z_cond))
                   if z_cond is not None else None)
         y_cond = (self._labels(self.state.params, jnp.asarray(y))
                   if (y is not None and self._labels) else None)
-        return self._decoders[key](self.state.params, rng, x_cond, y_cond)
+        if prime is None:
+            return self._decoders[key](self.state.params, rng, x_cond, y_cond)
+        return self._decoders[key](self.state.params, rng, x_cond, y_cond,
+                                   jnp.asarray(prime))
 
     def random_sample(self, seq_length: Optional[int] = None,
                       iterations: int = 10, batch_per_iter: int = 4,
@@ -190,7 +198,7 @@ class Prior:
 
         if rng is None:
             self._rng, rng = jax.random.split(self._rng)
-        key = (batch_per_iter, SampleMode.GUMBEL)
+        key = (batch_per_iter, SampleMode.GUMBEL, 0)
         if key not in self._decoders:
             self._decoders[key] = make_decode_fn(self.cfg, self.context_length,
                                                  batch_per_iter)

@@ -11,10 +11,11 @@ per shape.  Measured on TPU v5e:
   * Decode step (decode_pallas.py): pallas fuses ALL transformer layers of a
     token step into one kernel — level-0 decode 56us -> 34us/step; enabled
     automatically when batch*heads % 128 == 0.
-  * Training-path blockwise attention: XLA kept.  At flagship shapes
-    (ctx 896, d128, batch 8) a fwd+grad round is ~2-4 ms and dispatch-bound;
-    the pattern reshapes already tile cleanly onto the MXU and a custom
-    kernel cannot beat the dispatch floor.
+  * Training-path blockwise attention: XLA kept.  Measured with in-jit loops
+    (dispatch excluded): 71-89 TFLOP/s f32 at the Jukebox-SMALL geometry
+    (ctx 8192, d1024) — at or near the chip's f32 peak; at the small flagship
+    widths (attn width 32, head dim 16) throughput is MXU-shape-bound, which
+    a custom kernel cannot change.
 """
 
 from vae_music_tpu.ops.vq_pallas import fused_vq_assign, vq_pallas_available

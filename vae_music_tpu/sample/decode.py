@@ -89,15 +89,22 @@ def make_decode_fn(
     unroll: int = 1,
     fused: Optional[bool] = None,
     fused_interpret: bool = False,
+    prime_len: int = 0,
 ):
     """Build a jitted sampler for one prior level.
 
     Returned fn signature:
-        decode(params, rng, x_cond_stream=None, y_cond=None) -> tokens (N, ctx_len+1)
+        decode(params, rng, x_cond_stream=None, y_cond=None[, prime])
+            -> tokens (N, ctx_len+1)
     where ``x_cond_stream`` is the ALREADY-UPSAMPLED conditioning stream
     (N, ctx_len, width) (autoregressive_fmha.py:180-189 upsamples once before
     the token loop) and ``y_cond`` is the (N, 1, width) label embedding.
     Output includes the leading start token (strip with [:, 1:], Sampler.py:105).
+
+    ``prime_len > 0`` enables primed/continuation decoding (the reference
+    stubs this out, Sampler.py:111-119): ``prime`` (N, prime_len) int codes
+    are teacher-forced as positions 1..prime_len and sampling continues from
+    there; the returned tokens echo the prime in those positions.
     """
     width = cfg.width
     heads = cfg.heads
@@ -115,7 +122,16 @@ def make_decode_fn(
         fused = decode_pallas_available(n_samples, heads)
     patterns = tuple(cfg.attn_pattern(li) for li in range(depth))
 
-    def decode(params, rng, x_cond_stream=None, y_cond=None):
+    def decode(params, rng, x_cond_stream=None, y_cond=None, prime=None):
+        assert (prime is not None) == (prime_len > 0)
+
+        def apply_prime(next_token, t):
+            if prime_len == 0:
+                return next_token
+            pt = jax.lax.dynamic_slice_in_dim(
+                prime, jnp.minimum(t, prime_len - 1), 1, axis=1)[:, 0]
+            return jnp.where(t < prime_len, pt.astype(jnp.int32), next_token)
+
         p = params["params"]
         emb = p["x_embedding"]["embedding"]            # (bins, width)
         if cfg.pos_emb:
@@ -228,7 +244,8 @@ def make_decode_fn(
                     li, lp, x, t, b, i, k_cache[li], v_cache[li], u_cache[li])
             logits = x @ out_k + out_b                 # (N, bins)
             step_rng, sub = jax.random.split(step_rng)
-            next_token = sample_token(sub, logits, mode, temperature, top_k)
+            next_token = apply_prime(
+                sample_token(sub, logits, mode, temperature, top_k), t)
             out = (next_token, logits) if return_logits else next_token
             return (next_token, tuple(k_cache), tuple(v_cache),
                     tuple(u_cache), step_rng), out
@@ -255,7 +272,8 @@ def make_decode_fn(
                 interpret=fused_interpret)
             logits = x @ out_k + out_b
             step_rng, sub = jax.random.split(step_rng)
-            next_token = sample_token(sub, logits, mode, temperature, top_k)
+            next_token = apply_prime(
+                sample_token(sub, logits, mode, temperature, top_k), t)
             out = (next_token, logits) if return_logits else next_token
             return (next_token, uc, kc, vc, step_rng), out
 
