@@ -15,6 +15,14 @@ def prod(xs: Sequence[int]) -> int:
     return math.prod(xs)
 
 
+def compare_t(t1, t2):
+    """Count and locate differing elements (tf_utils.py:9-11)."""
+    import jax.numpy as jnp
+
+    not_equal = (jnp.asarray(t1) != jnp.asarray(t2)).astype(jnp.float32)
+    return jnp.sum(not_equal), not_equal
+
+
 def assert_shape(x, expected: Sequence[int | None], name: str = "tensor") -> None:
     """Static shape contract. ``None`` entries are wildcards."""
     shape = tuple(x.shape)
