@@ -53,7 +53,8 @@ def decode_pallas_available(n_samples: int = LANE, heads: int = 1) -> bool:
             and (n_samples * heads) % LANE == 0)
 
 
-def _make_kernel(depth, n, heads, hd, width, blocks, block_len, patterns):
+def _make_kernel(depth, n, heads, hd, width, blocks, block_len, patterns,
+                 cache_dtype=jnp.float32):
     nh = n * heads
     hh = heads * hd
     inv_sqrt_hd = 1.0 / math.sqrt(hd)
@@ -114,8 +115,8 @@ def _make_kernel(depth, n, heads, hd, width, blocks, block_len, patterns):
             v_t = to_lane_major(qkv[:, 2 * hh:])
 
             # Stage current k/v and write them to the HBM cache.
-            kt_ref[0, 0] = k_t
-            vt_ref[0, 0] = v_t
+            kt_ref[0, 0] = k_t.astype(cache_dtype)
+            vt_ref[0, 0] = v_t.astype(cache_dtype)
             wk = pltpu.make_async_copy(
                 kt_ref, kc_out_ref.at[li, pl.ds(b, 1), pl.ds(i, 1), :, :],
                 write_sems.at[li, 0])
@@ -207,7 +208,7 @@ def fused_decode_step(
     scalars: jnp.ndarray,   # (1, 4) int32: [t, b, i, 0]
     x: jnp.ndarray,         # (N, width) f32
     uc: jnp.ndarray,        # (depth, N, 2, width) f32
-    kc: jnp.ndarray,        # (depth, blocks, block_len, hd, N*H) f32
+    kc: jnp.ndarray,        # (depth, blocks, block_len, hd, N*H), f32 or bf16
     vc: jnp.ndarray,
     weights: Tuple[jnp.ndarray, ...],
     *,
@@ -218,11 +219,12 @@ def fused_decode_step(
     """Runs one full decode step. Returns (x_out, uc, kc, vc) with caches
     updated in place (aliased)."""
     nh = n * heads
+    cache_dtype = kc.dtype
     if not interpret:
         assert nh % LANE == 0, (
             f"fused decode needs batch*heads % {LANE} == 0, got {nh}")
     kernel = _make_kernel(depth, n, heads, hd, width, blocks, block_len,
-                          patterns)
+                          patterns, cache_dtype=cache_dtype)
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
@@ -234,18 +236,18 @@ def fused_decode_step(
         out_shape=[
             jax.ShapeDtypeStruct((n, width), jnp.float32),
             jax.ShapeDtypeStruct(uc.shape, jnp.float32),
-            jax.ShapeDtypeStruct(kc.shape, jnp.float32),
-            jax.ShapeDtypeStruct(vc.shape, jnp.float32),
+            jax.ShapeDtypeStruct(kc.shape, cache_dtype),
+            jax.ShapeDtypeStruct(vc.shape, cache_dtype),
         ],
         # uc/kc/vc are updated in place: inputs 2,3,4 -> outputs 1,2,3.
         input_output_aliases={2: 1, 3: 2, 4: 3},
         scratch_shapes=[
-            pltpu.VMEM((1, block_len, hd, nh), jnp.float32),   # khist
-            pltpu.VMEM((1, block_len, hd, nh), jnp.float32),   # vhist
-            pltpu.VMEM((blocks, 1, hd, nh), jnp.float32),      # kcol
-            pltpu.VMEM((blocks, 1, hd, nh), jnp.float32),      # vcol
-            pltpu.VMEM((1, 1, hd, nh), jnp.float32),           # kt staging
-            pltpu.VMEM((1, 1, hd, nh), jnp.float32),           # vt staging
+            pltpu.VMEM((1, block_len, hd, nh), cache_dtype),   # khist
+            pltpu.VMEM((1, block_len, hd, nh), cache_dtype),   # vhist
+            pltpu.VMEM((blocks, 1, hd, nh), cache_dtype),      # kcol
+            pltpu.VMEM((blocks, 1, hd, nh), cache_dtype),      # vcol
+            pltpu.VMEM((1, 1, hd, nh), cache_dtype),           # kt staging
+            pltpu.VMEM((1, 1, hd, nh), cache_dtype),           # vt staging
             pltpu.SemaphoreType.DMA((2,)),                     # read sems
             pltpu.SemaphoreType.DMA((depth, 2)),               # write sems
         ],

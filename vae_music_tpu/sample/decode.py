@@ -90,6 +90,7 @@ def make_decode_fn(
     fused: Optional[bool] = None,
     fused_interpret: bool = False,
     prime_len: int = 0,
+    cache_dtype: str = "float32",
 ):
     """Build a jitted sampler for one prior level.
 
@@ -293,8 +294,10 @@ def make_decode_fn(
                 jnp.stack([lp["mlp"]["bias"] for lp in layers]),
             )
             uc0 = jnp.zeros((depth, n_samples, 2, width), jnp.float32)
-            # lane-major cache layout (see ops/decode_pallas.py docstring)
-            kc0 = jnp.zeros((depth, blocks, block_len, hd, nh), jnp.float32)
+            # lane-major cache layout (see ops/decode_pallas.py docstring);
+            # bf16 caches halve the per-step DMA (opt-in, serving)
+            kc0 = jnp.zeros((depth, blocks, block_len, hd, nh),
+                            jnp.dtype(cache_dtype))
             vc0 = jnp.zeros_like(kc0)
             carry0 = (token0, uc0, kc0, vc0, rng)
             _, outs = jax.lax.scan(fused_scan_step, carry0,

@@ -41,6 +41,7 @@ class AncestralSampler:
         temperature: float = 1.0,
         top_k: int = 0,
         serve_dtype: Optional[str] = None,   # e.g. 'bfloat16' for the conv stacks
+        cache_dtype: str = "float32",        # 'bfloat16' halves decode DMA (serving)
     ):
         assert len(prior_cfgs) == vqvae_cfg.levels
         self.vqvae_cfg = vqvae_cfg
@@ -55,6 +56,7 @@ class AncestralSampler:
         self.temperature = temperature
         self.top_k = top_k
         self.serve_dtype = serve_dtype
+        self.cache_dtype = cache_dtype
         self._decode_fns: Dict = {}
         self._cond_fns: Dict = {}
         self._label_fns: Dict = {}
@@ -83,7 +85,8 @@ class AncestralSampler:
         if key not in self._decode_fns:
             self._decode_fns[key] = make_decode_fn(
                 self.prior_cfgs[level], self.specs[level].ctx_len, n_samples,
-                mode=self.mode, temperature=self.temperature, top_k=self.top_k)
+                mode=self.mode, temperature=self.temperature,
+                top_k=self.top_k, cache_dtype=self.cache_dtype)
         return self._decode_fns[key]
 
     def _cond_upsampler(self, level: int):
@@ -178,7 +181,8 @@ class AncestralSampler:
         decode_fns = [
             make_decode_fn(self.prior_cfgs[l], self.specs[l].ctx_len,
                            n_samples, mode=self.mode,
-                           temperature=self.temperature, top_k=self.top_k)
+                           temperature=self.temperature, top_k=self.top_k,
+                           cache_dtype=self.cache_dtype)
             for l in range(self.levels)
         ]
         prior_params = self.prior_params
