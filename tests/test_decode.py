@@ -171,3 +171,20 @@ def test_primed_continuation_decoding():
     np.testing.assert_array_equal(
         np.asarray(jnp.argmax(full_logits[:, p_len:], -1)),
         np.asarray(tokens[:, p_len + 1 :]))
+
+
+def test_sample_long_windowed_generation():
+    """Arbitrary-length generation via overlapping primed windows: per-level
+    code grids of total_ctx_mult x ctx, decoded to long audio."""
+    vcfg = _vqvae_cfg()
+    scfg = SamplerConfig(vqvae=vcfg, prior_width=32, prior_depth=2,
+                         prior_heads=2, prior_blocks=4, genre_classes=10,
+                         conditioner=ConditionerConfig(residual_depth=1))
+    sampler = AncestralSampler.from_config(scfg, jax.random.PRNGKey(0))
+    zs = sampler.sample_codes_long(2, jax.random.PRNGKey(1), total_ctx_mult=3,
+                                   overlap_frac=0.5, y_genre=jnp.array([0, 1]))
+    assert [z.shape for z in zs] == [(2, 3 * 128), (2, 3 * 32)]
+    assert all(np.isfinite(np.asarray(z)).all() for z in zs)
+    wav = sampler.sample_audio_long(2, jax.random.PRNGKey(2), total_ctx_mult=2)
+    assert wav.shape == (2, 2 * vcfg.sample_length, 1)
+    assert np.isfinite(np.asarray(wav)).all()

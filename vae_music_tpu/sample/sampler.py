@@ -166,6 +166,94 @@ class AncestralSampler:
         return self._vq_decoder(decode_level)(self.vqvae_params, self.codebooks,
                                               zs[decode_level])
 
+    # -- arbitrary-length generation (beyond one context window) -------------
+
+    def _windowed_decoder(self, level: int, n_samples: int, prime_len: int):
+        key = (level, n_samples, prime_len)
+        if key not in self._decode_fns:
+            self._decode_fns[key] = make_decode_fn(
+                self.prior_cfgs[level], self.specs[level].ctx_len, n_samples,
+                mode=self.mode, temperature=self.temperature,
+                top_k=self.top_k, cache_dtype=self.cache_dtype,
+                prime_len=prime_len)
+        return self._decode_fns[key]
+
+    def sample_codes_long(
+        self,
+        n_samples: int,
+        rng: jax.Array,
+        total_ctx_mult: int = 2,
+        overlap_frac: float = 0.5,
+        y_genre: Optional[jnp.ndarray] = None,
+    ) -> List[jnp.ndarray]:
+        """Generate ``total_ctx_mult`` context windows of codes per level with
+        overlapping primed windows — arbitrary-length audio, which the
+        reference cannot do (its sampler is single-window; ``sample_level``
+        is a stub, Sampler.py:111-119).
+
+        Each window re-primes the decoder with the trailing ``overlap_frac``
+        of already-generated codes (positions restart per window, matching
+        the training distribution of fixed-length clips).
+        """
+        assert total_ctx_mult >= 1
+        zs: List[Optional[jnp.ndarray]] = [None] * self.levels
+        for level in reversed(range(self.levels)):
+            spec = self.specs[level]
+            ctx = spec.ctx_len
+            hop = int(ctx * (1.0 - overlap_frac))
+            rate = spec.cond_downsample_rate
+            if rate is not None:
+                hop = max((hop // rate) * rate, rate)  # window starts align
+            prime_len = ctx - hop
+            total = ctx * total_ctx_mult
+
+            y_cond = None
+            if y_genre is not None and self.prior_cfgs[level].genre_classes is not None:
+                y_cond = self._label_embedder(level)(self.prior_params[level],
+                                                     y_genre)
+
+            codes = None  # (N, generated_so_far)
+            start = 0
+            while codes is None or codes.shape[1] < total:
+                start = 0 if codes is None else min(codes.shape[1] - prime_len,
+                                                    total - ctx)
+                x_cond_stream = None
+                if rate is not None:
+                    z_cond = zs[level + 1][:, start // rate:(start + ctx) // rate]
+                    x_cond_stream = self._cond_upsampler(level)(
+                        self.prior_params[level], z_cond)
+                rng, step_rng = jax.random.split(rng)
+                if codes is None:
+                    tokens = self._windowed_decoder(level, n_samples, 0)(
+                        self.prior_params[level], step_rng, x_cond_stream,
+                        y_cond)
+                    codes = tokens[:, 1:]
+                else:
+                    prime = codes[:, start : start + prime_len]
+                    tokens = self._windowed_decoder(level, n_samples,
+                                                    prime_len)(
+                        self.prior_params[level], step_rng, x_cond_stream,
+                        y_cond, prime)
+                    new = tokens[:, 1 + prime_len :]
+                    codes = jnp.concatenate(
+                        [codes[:, : start + prime_len], new], axis=1)
+            zs[level] = codes[:, :total]
+        return zs  # type: ignore[return-value]
+
+    def sample_audio_long(
+        self,
+        n_samples: int,
+        rng: jax.Array,
+        total_ctx_mult: int = 2,
+        overlap_frac: float = 0.5,
+        y_genre: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        """Arbitrary-length generation: (N, sample_length * total_ctx_mult, C)."""
+        assert self.vqvae_params is not None and self.codebooks is not None
+        zs = self.sample_codes_long(n_samples, rng, total_ctx_mult,
+                                    overlap_frac, y_genre)
+        return self._vq_decoder(0)(self.vqvae_params, self.codebooks, zs[0])
+
     def compile_chain(self, n_samples: int, with_labels: bool = True):
         """Build ONE jitted end-to-end program for the whole ancestral chain
         (top sample -> upsample cond -> ... -> VQ decode): a single XLA
