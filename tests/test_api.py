@@ -71,3 +71,9 @@ def test_full_reference_workflow():
     assert [z.shape for z in zs] == [(2, 128), (2, 32)]
     audio = sampler.sample_audio(2, y_genre=y[:2], rng=jax.random.PRNGKey(2))
     assert audio.shape == (2, 1024, 1)
+
+    # arbitrary-length generation through the facade
+    long_audio = sampler.sample_audio_long(2, total_ctx_mult=2,
+                                           y_genre=y[:2],
+                                           rng=jax.random.PRNGKey(3))
+    assert long_audio.shape == (2, 2048, 1)

@@ -238,3 +238,16 @@ class VQVAESampler:
         self._sampler.vqvae_params = self.vqvae.params
         self._sampler.codebooks = self.vqvae.codebooks
         return self._sampler.sample_audio(n_samples, rng, y)
+
+    def sample_audio_long(self, n_samples: int, total_ctx_mult: int = 2,
+                          overlap_frac: float = 0.5, y_genre=None,
+                          rng: Optional[jax.Array] = None) -> jnp.ndarray:
+        """Arbitrary-length generation via overlapping primed windows —
+        beyond the reference's single-window sampler (Sampler.py:111-119)."""
+        rng = jax.random.PRNGKey(0) if rng is None else rng
+        y = jnp.asarray(y_genre) if y_genre is not None else None
+        self._sampler.prior_params = [p.state.params for p in self.priors]
+        self._sampler.vqvae_params = self.vqvae.params
+        self._sampler.codebooks = self.vqvae.codebooks
+        return self._sampler.sample_audio_long(n_samples, rng, total_ctx_mult,
+                                               overlap_frac, y)

@@ -17,6 +17,10 @@ def main():
     p.add_argument("--temperature", type=float, default=1.0)
     p.add_argument("--mode", choices=["gumbel", "greedy", "top_k"], default="gumbel")
     p.add_argument("--top_k", type=int, default=0)
+    p.add_argument("--total_ctx_mult", type=int, default=1,
+                   help=">1 generates N context windows of audio via "
+                        "overlapping primed windows (arbitrary length)")
+    p.add_argument("--overlap_frac", type=float, default=0.5)
     p.add_argument("--vqvae_ckpt", default=None)
     p.add_argument("--prior_ckpts", nargs="*", default=None,
                    help="one checkpoint dir per level (bottom first)")
@@ -60,8 +64,14 @@ def main():
 
     y = (jnp.full((args.n_samples,), args.genre, jnp.int32)
          if args.genre is not None else None)
-    wav = sampler.sample_audio(args.n_samples, jax.random.PRNGKey(args.seed + 1),
-                               y_genre=y)
+    if args.total_ctx_mult > 1:
+        wav = sampler.sample_audio_long(
+            args.n_samples, jax.random.PRNGKey(args.seed + 1),
+            total_ctx_mult=args.total_ctx_mult,
+            overlap_frac=args.overlap_frac, y_genre=y)
+    else:
+        wav = sampler.sample_audio(args.n_samples,
+                                   jax.random.PRNGKey(args.seed + 1), y_genre=y)
     os.makedirs(args.out_dir, exist_ok=True)
     for i in range(args.n_samples):
         path = os.path.join(args.out_dir, f"sample{i}.wav")
