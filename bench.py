@@ -49,12 +49,15 @@ def main():
 
     scfg = get_config("FULL_PIPELINE")
     vcfg = scfg.vqvae
-    # Generation throughput scales with batch until the cache-slice DMA
-    # saturates HBM (measured: 64 -> 14.6k, 128 -> 18.5k clips/s).
-    n_samples = 128
+    # Generation throughput scales with batch until the decode kernel's VMEM
+    # working set hits the 16MB scoped limit (measured: 64 -> 14.6k,
+    # 128 -> 18.5k, 256+bf16 KV cache -> 24.9k clips/s; 256 f32 and 512 bf16
+    # exceed VMEM).  bf16 caches halve the per-step DMA; decode fidelity vs
+    # f32 is guarded by tests/test_decode_pallas.py.
+    n_samples = 256
 
     rng = jax.random.PRNGKey(0)
-    sampler = AncestralSampler.from_config(scfg, rng)
+    sampler = AncestralSampler.from_config(scfg, rng, cache_dtype="bfloat16")
 
     # ---- generation: full ancestral chain (ONE jitted XLA program) --------
     # NOTE: on the tunneled TPU backend block_until_ready() does not reliably
