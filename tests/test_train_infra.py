@@ -156,3 +156,40 @@ def test_random_sample_prefers_low_loss_and_rejects_degenerate():
     assert np.isfinite(float(best_loss))
     frac = float(token_mode_fraction(best[None, 1:], 17)[0])
     assert frac < 0.9
+
+
+def test_grad_accumulation_prior():
+    """accum_steps=k: params frozen for k-1 microsteps, then one update equal
+    to a plain step on the same (repeated) batch — optax.MultiSteps averages
+    the k identical grads back to the single-step update."""
+    from vae_music_tpu.train.prior_step import (
+        default_prior_optimizer,
+        init_prior,
+        make_prior_train_step,
+    )
+    from vae_music_tpu.train.state import PriorTrainState
+
+    cfg = _tiny_cfg()
+    pcfg = PriorConfig(level=0, levels=1, bins=17, width=32, depth=2, heads=2,
+                       blocks=4, attn_stacks=1, dropout=0.0, genre_classes=10,
+                       teacher_force_rate=0.0)  # deterministic forward
+    vp, cbs = init_vqvae(jax.random.PRNGKey(0), cfg)
+    x, y = synthetic_audio_batch(0, 4, cfg.sample_length)
+    x, y = jnp.asarray(x), jnp.asarray(y)
+    _, params = init_prior(jax.random.PRNGKey(1), cfg, pcfg)
+    step = make_prior_train_step(cfg, pcfg, vp, cbs, donate=False)
+
+    acc = PriorTrainState.create(params, default_prior_optimizer(pcfg, accum_steps=2))
+    acc1, _ = step(acc, x, y, jax.random.PRNGKey(2))
+    # microstep 1: no parameter motion yet
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        acc1.params, params)
+    acc2, _ = step(acc1, x, y, jax.random.PRNGKey(2))
+
+    plain = PriorTrainState.create(params, default_prior_optimizer(pcfg))
+    plain1, _ = step(plain, x, y, jax.random.PRNGKey(2))
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                                rtol=1e-5, atol=1e-6),
+        acc2.params, plain1.params)

@@ -29,6 +29,8 @@ def main():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--resume", action="store_true")
     p.add_argument("--synthetic_examples", type=int, default=256)
+    p.add_argument("--accum_steps", type=int, default=1,
+                   help="gradient-accumulation microsteps per optimizer update")
     args = p.parse_args()
 
     import jax
@@ -87,7 +89,8 @@ def main():
                                                vcfg.sample_length)
 
     _, params = init_prior(jax.random.PRNGKey(args.seed + 2), vcfg, pcfg)
-    state = PriorTrainState.create(params, default_prior_optimizer(pcfg))
+    state = PriorTrainState.create(
+        params, default_prior_optimizer(pcfg, accum_steps=args.accum_steps))
     ckpt = CheckpointManager(os.path.join(args.out_dir, "ckpt"))
     if args.resume and ckpt.latest_step() is not None:
         state = ckpt.restore(state)

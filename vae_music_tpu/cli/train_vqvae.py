@@ -26,6 +26,9 @@ def main():
     p.add_argument("--inspect_interval", type=int, default=10)
     p.add_argument("--resume", action="store_true")
     p.add_argument("--synthetic_examples", type=int, default=256)
+    p.add_argument("--accum_steps", type=int, default=1,
+                   help="gradient-accumulation microsteps per optimizer update "
+                        "(codebook EMA still updates every microstep)")
     args = p.parse_args()
 
     import jax
@@ -60,7 +63,10 @@ def main():
         x_test, y_test = synthetic_audio_batch(args.seed + 1, 32, cfg.sample_length)
 
     params, codebooks = init_vqvae(jax.random.PRNGKey(args.seed), cfg)
-    state = VQVAETrainState.create(params, codebooks, optax.adam(args.learning_rate))
+    from vae_music_tpu.train.prior_step import with_grad_accumulation
+
+    tx = with_grad_accumulation(optax.adam(args.learning_rate), args.accum_steps)
+    state = VQVAETrainState.create(params, codebooks, tx)
 
     ckpt = CheckpointManager(os.path.join(args.out_dir, "ckpt"))
     if args.resume and ckpt.latest_step() is not None:

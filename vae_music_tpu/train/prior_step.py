@@ -36,10 +36,25 @@ from vae_music_tpu.nn.positional import noam_schedule
 from vae_music_tpu.train.state import PriorTrainState
 
 
-def default_prior_optimizer(cfg: PriorConfig) -> optax.GradientTransformation:
+def with_grad_accumulation(
+    tx: optax.GradientTransformation, accum_steps: int
+) -> optax.GradientTransformation:
+    """Microbatch gradient accumulation: grads average over ``accum_steps``
+    consecutive step() calls, params update on every k-th.  Lets a single
+    chip train with an effective batch k x larger than fits in HBM (the
+    reference is single-device Keras with no equivalent)."""
+    if accum_steps <= 1:
+        return tx
+    return optax.MultiSteps(tx, every_k_schedule=accum_steps)
+
+
+def default_prior_optimizer(
+    cfg: PriorConfig, accum_steps: int = 1
+) -> optax.GradientTransformation:
     """Adam + Noam warmup (multi_head_attention.py:82-101)."""
-    return optax.adam(noam_schedule(cfg.width, cfg.warmup_steps),
-                      b1=0.9, b2=0.98, eps=1e-9)
+    tx = optax.adam(noam_schedule(cfg.width, cfg.warmup_steps),
+                    b1=0.9, b2=0.98, eps=1e-9)
+    return with_grad_accumulation(tx, accum_steps)
 
 
 def init_prior(rng: jax.Array, vqvae_cfg: VQVAEConfig, prior_cfg: PriorConfig):
