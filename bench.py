@@ -49,11 +49,11 @@ def main():
 
     scfg = get_config("FULL_PIPELINE")
     vcfg = scfg.vqvae
-    # Generation throughput scales with batch until the decode kernel's VMEM
-    # working set hits the 16MB scoped limit (measured: 64 -> 14.6k,
-    # 128 -> 18.5k, 256+bf16 KV cache -> 24.9k clips/s; 256 f32 and 512 bf16
-    # exceed VMEM).  bf16 caches halve the per-step DMA; decode fidelity vs
-    # f32 is guarded by tests/test_decode_pallas.py.
+    # Generation throughput peaks at batch 256 + bf16 KV caches (measured:
+    # 64 -> 14.6k, 128 -> 18.5k, 256 -> 25.8k, 512 -> 21.9k clips/s — the
+    # 512 case lane-tiles the decode kernel's attention to fit VMEM, and the
+    # serialized tile DMAs cost more than the batch amortizes).  bf16 caches
+    # halve the per-step DMA; fidelity guarded by tests/test_decode_pallas.py.
     n_samples = 256
 
     rng = jax.random.PRNGKey(0)

@@ -45,3 +45,42 @@ def test_fused_decode_matches_xla_path(level, cond):
     np.testing.assert_array_equal(np.asarray(tok_x), np.asarray(tok_f))
     np.testing.assert_allclose(np.asarray(log_x), np.asarray(log_f),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_lane_tiled_kernel_matches_untiled():
+    """lane_tiles=2 splits the attention lane axis into two tiles (bounded
+    VMEM scratch for big batches); all lane math is elementwise across lanes,
+    so outputs must be bit-comparable to the untiled kernel."""
+    from vae_music_tpu.ops.decode_pallas import fused_decode_step
+
+    depth, n, heads, hd, width, blocks, block_len = 3, 4, 2, 8, 16, 4, 8
+    patterns = (0, 1, 2)  # row, col, prev_row
+    nh, hh = n * heads, heads * hd
+    ks = jax.random.split(jax.random.PRNGKey(0), 16)
+    weights = (
+        jax.random.normal(ks[0], (depth, 3, width, 3 * hh)) * 0.3,
+        jax.random.normal(ks[1], (depth, 3 * hh)) * 0.1,
+        jax.random.normal(ks[2], (depth, hh, width)) * 0.3,
+        jax.random.normal(ks[3], (depth, width)) * 0.1,
+        jnp.ones((depth, width)), jnp.zeros((depth, width)),   # ln1
+        jnp.ones((depth, width)), jnp.zeros((depth, width)),   # ln2
+        jax.random.normal(ks[4], (depth, width, width)) * 0.3,
+        jax.random.normal(ks[5], (depth, width)) * 0.1,
+    )
+    x = jax.random.normal(ks[6], (n, width))
+    uc = jax.random.normal(ks[7], (depth, n, 2, width))
+    kc = jax.random.normal(ks[8], (depth, blocks, block_len, hd, nh))
+    vc = jax.random.normal(ks[9], (depth, blocks, block_len, hd, nh))
+    # mid-sequence position: block 2, offset 3
+    scalars = jnp.array([[2 * block_len + 3, 2, 3, 0]], jnp.int32)
+
+    kw = dict(depth=depth, n=n, heads=heads, hd=hd, width=width,
+              blocks=blocks, block_len=block_len, patterns=patterns,
+              interpret=True)
+    out1 = fused_decode_step(scalars, x, uc, kc, vc, weights,
+                             lane_tiles=1, **kw)
+    out2 = fused_decode_step(scalars, x, uc, kc, vc, weights,
+                             lane_tiles=2, **kw)
+    for a, b, name in zip(out1, out2, ("x", "uc", "kc", "vc")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-6, err_msg=name)

@@ -23,6 +23,10 @@ over N*H with sublane reductions over keys.
 
 Constraints: N*heads must be a multiple of 128 on real TPUs (use the XLA path
 otherwise); interpret mode (CPU tests) has no alignment constraint.
+Attention lanes are processed in tiles (``lane_tiles``, auto-sized) so the
+VMEM scratch stays bounded at any batch: batch 512 bf16 compiles and runs
+(21.9k clips/s) where the untiled kernel exceeded scoped VMEM — though
+batch 256 / one tile remains the throughput sweet spot (25.8k clips/s).
 Numerics match the XLA path (f32 softmax, -1e9 masking); equality is enforced
 by tests/test_decode_pallas.py and the decode==full-forward invariant.
 """
@@ -54,8 +58,9 @@ def decode_pallas_available(n_samples: int = LANE, heads: int = 1) -> bool:
 
 
 def _make_kernel(depth, n, heads, hd, width, blocks, block_len, patterns,
-                 cache_dtype=jnp.float32):
+                 cache_dtype=jnp.float32, lane_tiles=1):
     nh = n * heads
+    nh_t = nh // lane_tiles   # lanes per attention tile (VMEM working set)
     hh = heads * hd
     inv_sqrt_hd = 1.0 / math.sqrt(hd)
 
@@ -94,8 +99,8 @@ def _make_kernel(depth, n, heads, hd, width, blocks, block_len, patterns,
 
         x = x_ref[:]                                        # (N, width) f32
         neg = jnp.float32(-1e9)
-        row_ids = jax.lax.broadcasted_iota(jnp.int32, (block_len, nh), 0)
-        blk_ids = jax.lax.broadcasted_iota(jnp.int32, (blocks, nh), 0)
+        row_ids = jax.lax.broadcasted_iota(jnp.int32, (block_len, nh_t), 0)
+        blk_ids = jax.lax.broadcasted_iota(jnp.int32, (blocks, nh_t), 0)
 
         for li in range(depth):
             pattern = patterns[li]
@@ -131,57 +136,75 @@ def _make_kernel(depth, n, heads, hd, width, blocks, block_len, patterns,
                 wk.wait()
                 wv.wait()
 
-            logit_cur = jnp.sum(k_t * q_t, axis=0, keepdims=True) * inv_sqrt_hd
+            # Attention runs per lane tile: the history scratch and its big
+            # elementwise intermediates are sized (l, hd, nh_t), so the VMEM
+            # working set is constant in batch — larger batches just add
+            # tiles (all lane math is elementwise across lanes, so any
+            # 128-aligned tiling is exact).
+            attn_tiles = []
+            for ti in range(lane_tiles):
+                ts = ti * nh_t
+                q_s = jax.lax.slice_in_dim(q_t, ts, ts + nh_t, axis=1)
+                k_s = jax.lax.slice_in_dim(k_t, ts, ts + nh_t, axis=1)
+                v_s = jax.lax.slice_in_dim(v_t, ts, ts + nh_t, axis=1)
+                logit_cur = jnp.sum(k_s * q_s, axis=0, keepdims=True) * inv_sqrt_hd
 
-            if pattern in (0, 2):  # row / prev_row: one block of history
-                blk = b if pattern == 0 else b_prev
-                rk = pltpu.make_async_copy(
-                    kc_ref.at[li, pl.ds(blk, 1)], khist_ref, read_sems.at[0])
-                rv = pltpu.make_async_copy(
-                    vc_ref.at[li, pl.ds(blk, 1)], vhist_ref, read_sems.at[1])
-                rk.start()
-                rv.start()
-                rk.wait()
-                rv.wait()
-                k_hist = khist_ref[0]                       # (l, hd, NH)
-                v_hist = vhist_ref[0]
-                # logits over keys: (l, NH), lane-parallel over NH
-                logits = jnp.sum(k_hist * jnp.expand_dims(q_t, 0), axis=1) * inv_sqrt_hd
-                if pattern == 0:
-                    # row: history strictly below offset i; current appended.
-                    logits = jnp.where(row_ids < i, logits, neg)
+                if pattern in (0, 2):  # row / prev_row: one block of history
+                    blk = b if pattern == 0 else b_prev
+                    rk = pltpu.make_async_copy(
+                        kc_ref.at[li, pl.ds(blk, 1), :, :, pl.ds(ts, nh_t)],
+                        khist_ref, read_sems.at[0])
+                    rv = pltpu.make_async_copy(
+                        vc_ref.at[li, pl.ds(blk, 1), :, :, pl.ds(ts, nh_t)],
+                        vhist_ref, read_sems.at[1])
+                    rk.start()
+                    rv.start()
+                    rk.wait()
+                    rv.wait()
+                    k_hist = khist_ref[0]                   # (l, hd, nh_t)
+                    v_hist = vhist_ref[0]
+                    # logits over keys: (l, nh_t), lane-parallel
+                    logits = jnp.sum(k_hist * jnp.expand_dims(q_s, 0), axis=1) * inv_sqrt_hd
+                    if pattern == 0:
+                        # row: history strictly below offset i; current appended.
+                        logits = jnp.where(row_ids < i, logits, neg)
+                        full = jnp.concatenate([logits, logit_cur], axis=0)
+                        w = jax.nn.softmax(full, axis=0)    # (l+1, nh_t)
+                        w_hist = jnp.expand_dims(
+                            jax.lax.slice_in_dim(w, 0, block_len, axis=0), 1)
+                        w_cur = jax.lax.slice_in_dim(w, block_len, block_len + 1, axis=0)
+                        attn_t = jnp.sum(w_hist * v_hist, axis=0) + w_cur * v_s
+                    else:
+                        # prev_row: whole previous block, no current token; the
+                        # uniform-over-zero-block b==0 case must output zero.
+                        w = jax.nn.softmax(logits, axis=0)
+                        attn_t = jnp.sum(jnp.expand_dims(w, 1) * v_hist, axis=0)
+                        attn_t = attn_t * (b > 0).astype(attn_t.dtype)
+                else:  # col: column i across all blocks
+                    rk = pltpu.make_async_copy(
+                        kc_ref.at[li, :, pl.ds(i, 1), :, pl.ds(ts, nh_t)],
+                        kcol_ref, read_sems.at[0])
+                    rv = pltpu.make_async_copy(
+                        vc_ref.at[li, :, pl.ds(i, 1), :, pl.ds(ts, nh_t)],
+                        vcol_ref, read_sems.at[1])
+                    rk.start()
+                    rv.start()
+                    rk.wait()
+                    rv.wait()
+                    k_hist = kcol_ref[:, 0]                 # (blocks, hd, nh_t)
+                    v_hist = vcol_ref[:, 0]
+                    logits = jnp.sum(k_hist * jnp.expand_dims(q_s, 0), axis=1) * inv_sqrt_hd
+                    logits = jnp.where(blk_ids < b, logits, neg)
                     full = jnp.concatenate([logits, logit_cur], axis=0)
-                    w = jax.nn.softmax(full, axis=0)        # (l+1, NH)
+                    w = jax.nn.softmax(full, axis=0)        # (blocks+1, nh_t)
                     w_hist = jnp.expand_dims(
-                        jax.lax.slice_in_dim(w, 0, block_len, axis=0), 1)
-                    w_cur = jax.lax.slice_in_dim(w, block_len, block_len + 1, axis=0)
-                    attn = jnp.sum(w_hist * v_hist, axis=0) + w_cur * v_t
-                else:
-                    # prev_row: whole previous block, no current token; the
-                    # uniform-over-zero-block b==0 case must output zero.
-                    w = jax.nn.softmax(logits, axis=0)
-                    attn = jnp.sum(jnp.expand_dims(w, 1) * v_hist, axis=0)
-                    attn = attn * (b > 0).astype(attn.dtype)
-            else:  # col: column i across all blocks
-                rk = pltpu.make_async_copy(
-                    kc_ref.at[li, :, pl.ds(i, 1)], kcol_ref, read_sems.at[0])
-                rv = pltpu.make_async_copy(
-                    vc_ref.at[li, :, pl.ds(i, 1)], vcol_ref, read_sems.at[1])
-                rk.start()
-                rv.start()
-                rk.wait()
-                rv.wait()
-                k_hist = kcol_ref[:, 0]                     # (blocks, hd, NH)
-                v_hist = vcol_ref[:, 0]
-                logits = jnp.sum(k_hist * jnp.expand_dims(q_t, 0), axis=1) * inv_sqrt_hd
-                logits = jnp.where(blk_ids < b, logits, neg)
-                full = jnp.concatenate([logits, logit_cur], axis=0)
-                w = jax.nn.softmax(full, axis=0)            # (blocks+1, NH)
-                w_hist = jnp.expand_dims(
-                    jax.lax.slice_in_dim(w, 0, blocks, axis=0), 1)
-                w_cur = jax.lax.slice_in_dim(w, blocks, blocks + 1, axis=0)
-                attn = jnp.sum(w_hist * v_hist, axis=0) + w_cur * v_t
+                        jax.lax.slice_in_dim(w, 0, blocks, axis=0), 1)
+                    w_cur = jax.lax.slice_in_dim(w, blocks, blocks + 1, axis=0)
+                    attn_t = jnp.sum(w_hist * v_hist, axis=0) + w_cur * v_s
+                attn_tiles.append(attn_t)
 
+            attn = (attn_tiles[0] if lane_tiles == 1
+                    else jnp.concatenate(attn_tiles, axis=1))
             attn_nh = from_lane_major(attn)                 # back to batch-major
             res1 = (jnp.dot(attn_nh, out_k_ref[li],
                             preferred_element_type=jnp.float32)
@@ -200,10 +223,23 @@ def _make_kernel(depth, n, heads, hd, width, blocks, block_len, patterns,
     return kernel
 
 
+def _auto_lane_tiles(nh: int, block_len: int, hd: int, cache_bytes: int) -> int:
+    """Smallest power-of-2 tiling keeping the two (block_len, hd, nh_t)
+    history scratch buffers within ~8MB of the 16MB scoped-VMEM budget
+    (nh_t=512 f32 at the flagship geometry is the measured sweet spot)."""
+    budget = 8 * 1024 * 1024
+    tiles = 1
+    while (2 * block_len * hd * (nh // tiles) * cache_bytes > budget
+           and nh % (tiles * 2) == 0
+           and (nh // (tiles * 2)) % LANE == 0):
+        tiles *= 2
+    return tiles
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("depth", "n", "heads", "hd", "width", "blocks",
-                     "block_len", "patterns", "interpret"))
+                     "block_len", "patterns", "interpret", "lane_tiles"))
 def fused_decode_step(
     scalars: jnp.ndarray,   # (1, 4) int32: [t, b, i, 0]
     x: jnp.ndarray,         # (N, width) f32
@@ -215,6 +251,7 @@ def fused_decode_step(
     depth: int, n: int, heads: int, hd: int, width: int,
     blocks: int, block_len: int, patterns: Tuple[int, ...],
     interpret: bool = False,
+    lane_tiles: int = 0,    # 0 = auto (bound VMEM scratch regardless of batch)
 ):
     """Runs one full decode step. Returns (x_out, uc, kc, vc) with caches
     updated in place (aliased)."""
@@ -223,8 +260,14 @@ def fused_decode_step(
     if not interpret:
         assert nh % LANE == 0, (
             f"fused decode needs batch*heads % {LANE} == 0, got {nh}")
+    if lane_tiles == 0:
+        lane_tiles = _auto_lane_tiles(nh, block_len, hd,
+                                      jnp.dtype(cache_dtype).itemsize)
+    assert nh % lane_tiles == 0
+    nh_t = nh // lane_tiles
     kernel = _make_kernel(depth, n, heads, hd, width, blocks, block_len,
-                          patterns, cache_dtype=cache_dtype)
+                          patterns, cache_dtype=cache_dtype,
+                          lane_tiles=lane_tiles)
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
@@ -242,10 +285,10 @@ def fused_decode_step(
         # uc/kc/vc are updated in place: inputs 2,3,4 -> outputs 1,2,3.
         input_output_aliases={2: 1, 3: 2, 4: 3},
         scratch_shapes=[
-            pltpu.VMEM((1, block_len, hd, nh), cache_dtype),   # khist
-            pltpu.VMEM((1, block_len, hd, nh), cache_dtype),   # vhist
-            pltpu.VMEM((blocks, 1, hd, nh), cache_dtype),      # kcol
-            pltpu.VMEM((blocks, 1, hd, nh), cache_dtype),      # vcol
+            pltpu.VMEM((1, block_len, hd, nh_t), cache_dtype),  # khist
+            pltpu.VMEM((1, block_len, hd, nh_t), cache_dtype),  # vhist
+            pltpu.VMEM((blocks, 1, hd, nh_t), cache_dtype),     # kcol
+            pltpu.VMEM((blocks, 1, hd, nh_t), cache_dtype),     # vcol
             pltpu.VMEM((1, 1, hd, nh), cache_dtype),           # kt staging
             pltpu.VMEM((1, 1, hd, nh), cache_dtype),           # vt staging
             pltpu.SemaphoreType.DMA((2,)),                     # read sems
