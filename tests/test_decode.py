@@ -188,3 +188,18 @@ def test_sample_long_windowed_generation():
     wav = sampler.sample_audio_long(2, jax.random.PRNGKey(2), total_ctx_mult=2)
     assert wav.shape == (2, 2 * vcfg.sample_length, 1)
     assert np.isfinite(np.asarray(wav)).all()
+
+
+@pytest.mark.parametrize("overlap", [0.0, 0.75])
+def test_sample_long_overlap_extremes(overlap):
+    """overlap_frac=0 means abutting unprimed windows; large overlaps re-prime
+    with most of the context. Both must produce exact-length finite codes."""
+    vcfg = _vqvae_cfg()
+    scfg = SamplerConfig(vqvae=vcfg, prior_width=32, prior_depth=2,
+                         prior_heads=2, prior_blocks=4, genre_classes=10,
+                         conditioner=ConditionerConfig(residual_depth=1))
+    sampler = AncestralSampler.from_config(scfg, jax.random.PRNGKey(0))
+    zs = sampler.sample_codes_long(1, jax.random.PRNGKey(1), total_ctx_mult=2,
+                                   overlap_frac=overlap)
+    assert [z.shape for z in zs] == [(1, 2 * 128), (1, 2 * 32)]
+    assert all(np.isfinite(np.asarray(z)).all() for z in zs)

@@ -196,11 +196,12 @@ class AncestralSampler:
         the training distribution of fixed-length clips).
         """
         assert total_ctx_mult >= 1
+        assert 0.0 <= overlap_frac < 1.0, "overlap_frac must be in [0, 1)"
         zs: List[Optional[jnp.ndarray]] = [None] * self.levels
         for level in reversed(range(self.levels)):
             spec = self.specs[level]
             ctx = spec.ctx_len
-            hop = int(ctx * (1.0 - overlap_frac))
+            hop = max(int(ctx * (1.0 - overlap_frac)), 1)
             rate = spec.cond_downsample_rate
             if rate is not None:
                 hop = max((hop // rate) * rate, rate)  # window starts align
@@ -223,11 +224,14 @@ class AncestralSampler:
                     x_cond_stream = self._cond_upsampler(level)(
                         self.prior_params[level], z_cond)
                 rng, step_rng = jax.random.split(rng)
-                if codes is None:
+                if codes is None or prime_len == 0:
                     tokens = self._windowed_decoder(level, n_samples, 0)(
                         self.prior_params[level], step_rng, x_cond_stream,
                         y_cond)
-                    codes = tokens[:, 1:]
+                    new = tokens[:, 1:]
+                    codes = (new if codes is None
+                             else jnp.concatenate([codes[:, :start], new],
+                                                  axis=1))
                 else:
                     prime = codes[:, start : start + prime_len]
                     tokens = self._windowed_decoder(level, n_samples,
