@@ -1,3 +1,8 @@
 from vae_music_tpu.parallel.mesh import create_mesh, batch_sharding, replicated_sharding
 from vae_music_tpu.parallel.sharding import prior_param_sharding, shard_pytree
 from vae_music_tpu.parallel.ring_attention import sequence_parallel_attention
+from vae_music_tpu.parallel.pipeline import (
+    pipeline_transformer_apply,
+    stack_layer_params,
+    unstack_layer_params,
+)
