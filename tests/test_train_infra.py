@@ -193,3 +193,27 @@ def test_grad_accumulation_prior():
         lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                                 rtol=1e-5, atol=1e-6),
         acc2.params, plain1.params)
+
+
+def test_restore_params_across_optimizers(tmp_path):
+    """Checkpoints trained with a wrapped optimizer (--accum_steps ->
+    optax.MultiSteps) must still load in serving paths: restore_params reads
+    params/codebooks template-free, so opt_state structure changes can't
+    break generation."""
+    from vae_music_tpu.train.optim import with_grad_accumulation
+
+    cfg = _tiny_cfg()
+    vp, cbs = init_vqvae(jax.random.PRNGKey(0), cfg)
+    tx = with_grad_accumulation(optax.adam(1e-3), 2)
+    state = VQVAETrainState.create(vp, cbs, tx)
+    mngr = CheckpointManager(str(tmp_path / "ckpt"))
+    mngr.save(0, state)
+    restored = mngr.restore_params()
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        restored["params"], vp)
+    assert len(restored["codebooks"]) == cfg.levels
+    np.testing.assert_array_equal(np.asarray(restored["codebooks"][0].embeddings),
+                                  np.asarray(cbs[0].embeddings))
+    mngr.close()

@@ -29,7 +29,6 @@ def main():
     import jax
     import jax.numpy as jnp
     import numpy as np
-    import optax
 
     from vae_music_tpu.configs import get_config
     from vae_music_tpu.sample.decode import SampleMode
@@ -42,25 +41,20 @@ def main():
         mode=SampleMode(args.mode), temperature=args.temperature,
         top_k=args.top_k)
 
+    # Template-free restore: only params/codebooks are read, so checkpoints
+    # load regardless of how they were trained (plain Adam, --accum_steps...).
     if args.vqvae_ckpt:
         from vae_music_tpu.train.checkpoint import CheckpointManager
-        from vae_music_tpu.train.state import VQVAETrainState
 
-        template = VQVAETrainState.create(sampler.vqvae_params, sampler.codebooks,
-                                          optax.adam(1e-4))
-        restored = CheckpointManager(args.vqvae_ckpt).restore(template)
-        sampler.vqvae_params = restored.params
-        sampler.codebooks = restored.codebooks
+        restored = CheckpointManager(args.vqvae_ckpt).restore_params()
+        sampler.vqvae_params = restored["params"]
+        sampler.codebooks = restored["codebooks"]
     if args.prior_ckpts:
         from vae_music_tpu.train.checkpoint import CheckpointManager
-        from vae_music_tpu.train.prior_step import default_prior_optimizer
-        from vae_music_tpu.train.state import PriorTrainState
 
         for level, path in enumerate(args.prior_ckpts):
-            template = PriorTrainState.create(
-                sampler.prior_params[level],
-                default_prior_optimizer(sampler.prior_cfgs[level]))
-            sampler.prior_params[level] = CheckpointManager(path).restore(template).params
+            sampler.prior_params[level] = (
+                CheckpointManager(path).restore_params()["params"])
 
     y = (jnp.full((args.n_samples,), args.genre, jnp.int32)
          if args.genre is not None else None)

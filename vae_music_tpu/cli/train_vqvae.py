@@ -63,7 +63,7 @@ def main():
         x_test, y_test = synthetic_audio_batch(args.seed + 1, 32, cfg.sample_length)
 
     params, codebooks = init_vqvae(jax.random.PRNGKey(args.seed), cfg)
-    from vae_music_tpu.train.prior_step import with_grad_accumulation
+    from vae_music_tpu.train.optim import with_grad_accumulation
 
     tx = with_grad_accumulation(optax.adam(args.learning_rate), args.accum_steps)
     state = VQVAETrainState.create(params, codebooks, tx)

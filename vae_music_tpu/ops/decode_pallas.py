@@ -223,13 +223,16 @@ def _make_kernel(depth, n, heads, hd, width, blocks, block_len, patterns,
     return kernel
 
 
-def _auto_lane_tiles(nh: int, block_len: int, hd: int, cache_bytes: int) -> int:
-    """Smallest power-of-2 tiling keeping the two (block_len, hd, nh_t)
-    history scratch buffers within ~8MB of the 16MB scoped-VMEM budget
-    (nh_t=512 f32 at the flagship geometry is the measured sweet spot)."""
+def _auto_lane_tiles(nh: int, block_len: int, hd: int, cache_bytes: int,
+                     blocks: int) -> int:
+    """Smallest power-of-2 tiling keeping the lane-tiled scratch buffers
+    (khist/vhist of (block_len, hd, nh_t) plus kcol/vcol of (blocks, hd,
+    nh_t)) within ~8MB of the 16MB scoped-VMEM budget (nh_t=512 f32 at the
+    flagship geometry is the measured sweet spot).  The (1, 1, hd, nh)
+    staging buffers are NOT tiled but are block_len-fold smaller."""
     budget = 8 * 1024 * 1024
     tiles = 1
-    while (2 * block_len * hd * (nh // tiles) * cache_bytes > budget
+    while (2 * (block_len + blocks) * hd * (nh // tiles) * cache_bytes > budget
            and nh % (tiles * 2) == 0
            and (nh // (tiles * 2)) % LANE == 0):
         tiles *= 2
@@ -262,7 +265,7 @@ def fused_decode_step(
             f"fused decode needs batch*heads % {LANE} == 0, got {nh}")
     if lane_tiles == 0:
         lane_tiles = _auto_lane_tiles(nh, block_len, hd,
-                                      jnp.dtype(cache_dtype).itemsize)
+                                      jnp.dtype(cache_dtype).itemsize, blocks)
     assert nh % lane_tiles == 0
     nh_t = nh // lane_tiles
     kernel = _make_kernel(depth, n, heads, hd, width, blocks, block_len,

@@ -34,8 +34,12 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 try:  # jax >= 0.7 promotes shard_map out of experimental
     from jax import shard_map
+
+    _REP_KWARG = "check_vma"
 except ImportError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map
+
+    _REP_KWARG = "check_rep"  # legacy name of the replication-check kwarg
 
 from vae_music_tpu.nn.transformer import FactorizedTransformer, ResidualAttnBlock
 
@@ -132,10 +136,10 @@ def pipeline_transformer_apply(
                       jnp.zeros_like(out_acc)), axis_name)
         return out_acc
 
-    # check_vma off: the output is replicated by construction (masked psum
-    # over the full axis), which the varying-mesh-axes tracker can't prove.
+    # Replication check off: the output is replicated by construction
+    # (masked psum over the full axis), which the tracker can't prove.
     fn = shard_map(stage_body, mesh=mesh,
                    in_specs=(P(axis_name), P()), out_specs=P(),
-                   check_vma=False)
+                   **{_REP_KWARG: False})
     xm = x.reshape(m, n // m, t, d)
     return fn(stacked_params, xm).reshape(n, t, d)

@@ -81,13 +81,9 @@ class AncestralSampler:
     # -- jitted helpers, cached per (level, batch) ---------------------------
 
     def _decoder(self, level: int, n_samples: int):
-        key = (level, n_samples)
-        if key not in self._decode_fns:
-            self._decode_fns[key] = make_decode_fn(
-                self.prior_cfgs[level], self.specs[level].ctx_len, n_samples,
-                mode=self.mode, temperature=self.temperature,
-                top_k=self.top_k, cache_dtype=self.cache_dtype)
-        return self._decode_fns[key]
+        # The unprimed decoder IS the prime_len=0 windowed decoder; sharing
+        # the cache key avoids compiling the same XLA program twice.
+        return self._windowed_decoder(level, n_samples, 0)
 
     def _cond_upsampler(self, level: int):
         if level not in self._cond_fns:
@@ -220,7 +216,9 @@ class AncestralSampler:
                                                     total - ctx)
                 x_cond_stream = None
                 if rate is not None:
-                    z_cond = zs[level + 1][:, start // rate:(start + ctx) // rate]
+                    # window starts are rate-aligned (hop aligned above), so
+                    # get_cond's alignment asserts hold for every window
+                    z_cond = get_cond(zs, spec, start, start + ctx)
                     x_cond_stream = self._cond_upsampler(level)(
                         self.prior_params[level], z_cond)
                 rng, step_rng = jax.random.split(rng)

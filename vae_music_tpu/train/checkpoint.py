@@ -43,5 +43,29 @@ class CheckpointManager:
             ocp.utils.to_shape_dtype_struct, template)
         return self.mngr.restore(step, args=ocp.args.StandardRestore(abstract))
 
+    def restore_params(self, step: Optional[int] = None) -> dict:
+        """Restore only the inference-relevant leaves — params (+ codebooks,
+        for VQ-VAE states) and the step — WITHOUT an optimizer template.
+
+        ``restore()`` needs a template whose opt_state tree matches the
+        checkpoint's, which breaks when the optimizer changed between save
+        and load (e.g. a prior trained with ``--accum_steps`` wraps its
+        opt_state in optax.MultiSteps).  Serving paths don't need opt_state
+        at all, so this reads the raw tree and rebuilds just params/codebooks.
+        """
+        if step is None:
+            step = self.mngr.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint under {self.directory}")
+        raw = self.mngr.restore(step)
+        out = {"params": raw["params"], "step": raw.get("step")}
+        if "codebooks" in raw:
+            from vae_music_tpu.nn.quantizer import CodebookState
+
+            out["codebooks"] = tuple(
+                CodebookState(c["embeddings"], c["m_t"], c["N_t"])
+                for c in raw["codebooks"])
+        return out
+
     def close(self):
         self.mngr.close()

@@ -33,19 +33,8 @@ from vae_music_tpu.models.prior import (
 )
 from vae_music_tpu.models.vqvae import vqvae_encode
 from vae_music_tpu.nn.positional import noam_schedule
+from vae_music_tpu.train.optim import with_grad_accumulation
 from vae_music_tpu.train.state import PriorTrainState
-
-
-def with_grad_accumulation(
-    tx: optax.GradientTransformation, accum_steps: int
-) -> optax.GradientTransformation:
-    """Microbatch gradient accumulation: grads average over ``accum_steps``
-    consecutive step() calls, params update on every k-th.  Lets a single
-    chip train with an effective batch k x larger than fits in HBM (the
-    reference is single-device Keras with no equivalent)."""
-    if accum_steps <= 1:
-        return tx
-    return optax.MultiSteps(tx, every_k_schedule=accum_steps)
 
 
 def default_prior_optimizer(
