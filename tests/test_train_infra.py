@@ -217,3 +217,34 @@ def test_restore_params_across_optimizers(tmp_path):
     np.testing.assert_array_equal(np.asarray(restored["codebooks"][0].embeddings),
                                   np.asarray(cbs[0].embeddings))
     mngr.close()
+
+
+def test_param_ema_tracks_training():
+    """EMA shadow params converge toward (but lag) the live trajectory and
+    stay a valid forward-pass parameter set."""
+    from vae_music_tpu.train import init_param_ema, update_param_ema
+    from vae_music_tpu.train.vqvae_step import make_vqvae_train_step
+
+    cfg = _tiny_cfg()
+    vp, cbs = init_vqvae(jax.random.PRNGKey(0), cfg)
+    x, _ = synthetic_audio_batch(0, 4, cfg.sample_length)
+    state = VQVAETrainState.create(vp, cbs, optax.adam(1e-2))
+    step = make_vqvae_train_step(cfg, donate=False)
+    ema = init_param_ema(state.params)
+    for i in range(3):
+        state, _ = step(state, jnp.asarray(x), jax.random.PRNGKey(i))
+        ema = update_param_ema(ema, state.params, 0.5)
+
+    def dist(a, b):
+        return sum(float(jnp.sum(jnp.abs(x - y)))
+                   for x, y in zip(jax.tree_util.tree_leaves(a),
+                                   jax.tree_util.tree_leaves(b)))
+
+    assert dist(ema, vp) > 0.0            # moved off the init
+    assert dist(ema, state.params) > 0.0  # but lags the live params
+    assert dist(ema, state.params) < dist(vp, state.params)  # ...toward them
+    # EMA weights are drop-in params for the forward pass
+    from vae_music_tpu.models.vqvae import vqvae_apply
+    _, total, _, _ = vqvae_apply(ema, state.codebooks, cfg, jnp.asarray(x),
+                                 train=False)
+    assert np.isfinite(float(total))
