@@ -42,6 +42,26 @@ def _load_baseline():
     return None
 
 
+# TPU v5e (v5 lite) single-chip peaks, for MFU/roofline accounting.
+V5E_PEAK_BF16_FLOPS = 197e12   # MXU peak, bf16
+V5E_HBM_BW = 819e9             # bytes/sec
+
+
+def _cost_analysis(compiled):
+    """XLA's own FLOP/byte estimate for a compiled program (None if the
+    backend doesn't expose it)."""
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0))
+        in_bytes = sum(v for k, v in ca.items()
+                       if isinstance(v, (int, float)) and "bytes accessed" in k)
+        return flops, float(in_bytes)
+    except Exception:
+        return None, None
+
+
 def main():
     from vae_music_tpu.configs import get_config
     from vae_music_tpu.models.vqvae import vqvae_encode

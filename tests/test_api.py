@@ -8,6 +8,7 @@ import numpy as np
 from vae_music_tpu.api import Prior, VQVAE, VQVAESampler
 from vae_music_tpu.configs import ConditionerConfig, PriorConfig, VQVAEConfig
 from vae_music_tpu.data.audio import synthetic_audio_batch
+import pytest
 
 
 def _cfg():
@@ -25,6 +26,7 @@ def _prior_cfg(level, cond):
         conditioner=ConditionerConfig(residual_depth=1) if cond else None)
 
 
+@pytest.mark.slow
 def test_full_reference_workflow():
     """The reference's end-to-end usage: train VQVAE -> train priors ->
     ancestral sample -> decode audio, through the facade objects."""
@@ -77,3 +79,31 @@ def test_full_reference_workflow():
                                            y_genre=y[:2],
                                            rng=jax.random.PRNGKey(3))
     assert long_audio.shape == (2, 2048, 1)
+
+
+def test_api_smoke_fast():
+    """Fast-tier facade coverage: VQVAE train/encode/decode + Prior
+    train_step/call shapes on a single level (the full workflow incl.
+    sampling is the slow-marked test above)."""
+    cfg = VQVAEConfig(
+        sample_length=256, levels=1, latent_dim=8, codebook_size=16,
+        down_depth=(3,), strides=(2,), residual_width=8, residual_depth=1,
+        dilation_factor=3, use_spectral_loss=False,
+    ).validate()
+    vq = VQVAE(cfg, seed=0)
+    x, y = synthetic_audio_batch(0, 4, cfg.sample_length)
+    m = vq.train_step(jnp.asarray(x))
+    assert np.isfinite(m["loss"])
+    zs = vq.encode(jnp.asarray(x))
+    assert zs[0].shape == (4, cfg.z_lengths[0])
+    wav = vq.decode(zs[0], level=0)
+    assert wav.shape == (4, cfg.sample_length, 1)
+
+    prior = Prior(0, vq, prior_cfg=PriorConfig(
+        level=0, levels=1, bins=17, width=32, depth=2, heads=2, blocks=4,
+        attn_stacks=1, dropout=0.0, genre_classes=10))
+    pm = prior.train_step(jnp.asarray(x), jnp.asarray(y))
+    assert np.isfinite(pm["loss"])
+    logits, target, loss, acc = prior(jnp.asarray(x), jnp.asarray(y))
+    assert logits.shape == (4, cfg.z_lengths[0], 17)
+    assert target.shape == (4, cfg.z_lengths[0])

@@ -74,6 +74,7 @@ def test_prev_row_matches_dense_and_zero_first_block():
 
 
 @pytest.mark.parametrize("attn_func", [ROW, COL, PREV_ROW])
+@pytest.mark.slow
 def test_incremental_equals_batch(attn_func):
     """factorized_attention.py:446-462 — prefix outputs equal batch outputs."""
     m = FactorizedAttention(ctx_len=16, num_heads=1, d_model=4, blocks=4,

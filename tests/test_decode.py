@@ -38,10 +38,10 @@ def _prior_cfg(level, cond=False, **kw):
 @pytest.mark.parametrize("level,cond,kw", [
     (1, False, {}),                      # top prior, row/col/prev_row schedule
     (0, True, {}),                       # upsampler with x_cond
-    (1, False, {"attn_stacks": 0}),      # row/col schedule
-    (1, False, {"heads": 1}),            # single head
-    (1, False, {"pos_emb": False}),      # sinusoidal positions
-    (1, False, {"blocks": 8, "depth": 4}),  # different grid
+    pytest.param(1, False, {"attn_stacks": 0}, marks=pytest.mark.slow),  # row/col schedule
+    pytest.param(1, False, {"heads": 1}, marks=pytest.mark.slow),        # single head
+    pytest.param(1, False, {"pos_emb": False}, marks=pytest.mark.slow),  # sinusoidal positions
+    pytest.param(1, False, {"blocks": 8, "depth": 4}, marks=pytest.mark.slow),  # different grid
 ])
 def test_decode_logits_equal_full_forward(level, cond, kw):
     vcfg = _vqvae_cfg()
@@ -117,6 +117,7 @@ def test_ancestral_sampler_chain():
     assert wav2.shape == (2, vcfg.sample_length, 1)
 
 
+@pytest.mark.slow
 def test_compile_chain_matches_stepwise_sampler():
     """The single-jit serving chain must equal the stepwise sample_audio."""
     vcfg = _vqvae_cfg()
@@ -136,6 +137,7 @@ def test_compile_chain_matches_stepwise_sampler():
     assert wav_u.shape == (2, vcfg.sample_length, 1)
 
 
+@pytest.mark.slow
 def test_sampler_determinism_per_seed():
     vcfg = _vqvae_cfg()
     scfg = SamplerConfig(vqvae=vcfg, prior_width=32, prior_depth=3, prior_heads=2,
@@ -173,6 +175,7 @@ def test_primed_continuation_decoding():
         np.asarray(tokens[:, p_len + 1 :]))
 
 
+@pytest.mark.slow
 def test_sample_long_windowed_generation():
     """Arbitrary-length generation via overlapping primed windows: per-level
     code grids of total_ctx_mult x ctx, decoded to long audio."""
@@ -191,6 +194,7 @@ def test_sample_long_windowed_generation():
 
 
 @pytest.mark.parametrize("overlap", [0.0, 0.75])
+@pytest.mark.slow
 def test_sample_long_overlap_extremes(overlap):
     """overlap_frac=0 means abutting unprimed windows; large overlaps re-prime
     with most of the context. Both must produce exact-length finite codes."""

@@ -20,6 +20,7 @@ def _vqvae_cfg():
 
 
 @pytest.mark.parametrize("level,cond", [(1, False), (0, True)])
+@pytest.mark.slow
 def test_fused_decode_matches_xla_path(level, cond):
     vcfg = _vqvae_cfg()
     pcfg = PriorConfig(

@@ -15,6 +15,7 @@ from vae_music_tpu.train.prior_step import (
 )
 from vae_music_tpu.train.state import PriorTrainState, VQVAETrainState
 from vae_music_tpu.train.vqvae_step import make_vqvae_train_step
+import pytest
 
 
 def _vcfg(dtype="float32"):
@@ -25,6 +26,7 @@ def _vcfg(dtype="float32"):
     ).validate()
 
 
+@pytest.mark.slow
 def test_vqvae_bf16_trains():
     cfg = _vcfg("bfloat16")
     params, cbs = init_vqvae(jax.random.PRNGKey(0), cfg)

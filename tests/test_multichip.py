@@ -8,8 +8,10 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from vae_music_tpu.nn.attention import FactorizedAttention
+import pytest
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_8():
     import __graft_entry__ as g
 
@@ -62,3 +64,36 @@ def test_prior_tp_sharded_forward_matches():
     out = f(params_tp, tokens_dp)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_put_global_batch_process_local_path():
+    """Multi-host input sharding helper (SURVEY.md §2.2 'per-host input
+    sharding'): the make_array_from_process_local_data path must produce the
+    same global array + sharding as plain device_put on one process, and a
+    sharded train step must accept it."""
+    from vae_music_tpu.parallel.input import (
+        host_local_rows,
+        host_local_slice,
+        put_global_batch,
+    )
+    from vae_music_tpu.parallel.mesh import batch_sharding, create_mesh
+
+    mesh = create_mesh()
+    sharding = batch_sharding(mesh)
+    x = np.random.default_rng(0).standard_normal((16, 32, 1)).astype(np.float32)
+
+    a = put_global_batch(x, sharding)                            # device_put
+    b = put_global_batch(x, sharding, use_process_local=True)    # multi-host path
+    assert a.shape == b.shape == (16, 32, 1)
+    assert b.sharding.is_equivalent_to(sharding, 3)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # helpers: equal split + disjoint cover of the epoch
+    assert host_local_rows(16) == 16  # single process owns the whole batch
+    sl0 = host_local_slice(100, seed=7, epoch=3)
+    assert sl0.shape == (100,)
+    assert sorted(sl0.tolist()) == list(range(100))
+
+    # a jitted global-batch reduction consumes the assembled array
+    out = jax.jit(lambda v: v.sum())(b)
+    np.testing.assert_allclose(float(out), x.sum(), rtol=1e-5)

@@ -17,6 +17,7 @@ from vae_music_tpu.models.cvae import (
 from vae_music_tpu.models.pixelcnn import (
     PixelCNN,
     make_pixelcnn_sampler,
+    pixelcnn_log_prob,
     pixelcnn_loss,
     pixelcnn_mask,
 )
@@ -62,6 +63,34 @@ def test_pixelcnn_1d_and_class_conditioning():
     assert np.isfinite(float(loss))
 
 
+def test_pixelcnn_log_prob_matches_negative_ce_sum():
+    """log_prob (the tfp.distributions.PixelCNN.log_prob interface, notebook
+    cells 60-92) == -(mean CE) * positions, per sample."""
+    model = PixelCNN(bins=8, filters=16, residual_blocks=1, kernel=(3, 3),
+                     num_classes=10)
+    codes = jax.random.randint(jax.random.PRNGKey(2), (3, 4, 5), 0, 8)
+    labels = jnp.array([0, 4, 9])
+    params = model.init(jax.random.PRNGKey(0), codes, labels)
+
+    lp = pixelcnn_log_prob(model, params, codes, labels)
+    assert lp.shape == (3,)
+    # per-sample: -mean CE over that sample's grid * grid size
+    for i in range(3):
+        loss_i = pixelcnn_loss(model, params, codes[i : i + 1],
+                               labels[i : i + 1])
+        np.testing.assert_allclose(float(lp[i]), -float(loss_i) * 20,
+                                   rtol=1e-5)
+    # 1-D grids too
+    model1d = PixelCNN(bins=8, filters=8, residual_blocks=1, kernel=(1, 5))
+    codes1d = jax.random.randint(jax.random.PRNGKey(3), (2, 12), 0, 8)
+    params1d = model1d.init(jax.random.PRNGKey(0), codes1d)
+    lp1d = pixelcnn_log_prob(model1d, params1d, codes1d)
+    assert lp1d.shape == (2,)
+    np.testing.assert_allclose(
+        float(jnp.mean(lp1d)) / -12,
+        float(pixelcnn_loss(model1d, params1d, codes1d)), rtol=1e-5)
+
+
 def test_pixelcnn_sampler_shapes_and_determinism():
     model = PixelCNN(bins=8, filters=8, residual_blocks=1, kernel=(3, 3))
     codes = jnp.zeros((2, 4, 4), jnp.int32)
@@ -84,6 +113,7 @@ def test_pixelcnn_sampler_1d():
     assert g.shape == (2, 10)
 
 
+@pytest.mark.slow
 def test_pixelcnn_learns_constant_grid():
     model = PixelCNN(bins=4, filters=16, residual_blocks=1, kernel=(3, 3))
     codes = jnp.full((8, 4, 4), 2, jnp.int32)

@@ -27,7 +27,8 @@ def _setup(attn_stacks=1):
     return tf, params, x, ref
 
 
-@pytest.mark.parametrize("n_stages,micro", [(4, 4), (2, 8), (4, 2)])
+@pytest.mark.parametrize("n_stages,micro", [
+    pytest.param(4, 4, marks=pytest.mark.slow), (2, 8), (4, 2)])
 def test_pipeline_matches_single_device(n_stages, micro):
     tf, params, x, ref = _setup()
     mesh = Mesh(np.array(jax.devices()[:n_stages]), ("pipe",))
@@ -50,6 +51,7 @@ def test_pipeline_row_col_schedule():
                                rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_pipeline_backward():
     """The pipelined forward is one differentiable XLA program: jax.grad
     through ppermute/scan gives PP training."""

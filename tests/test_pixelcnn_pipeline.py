@@ -11,8 +11,10 @@ from vae_music_tpu.configs import VQVAEConfig
 from vae_music_tpu.data.audio import synthetic_audio_batch
 from vae_music_tpu.models.pixelcnn import PixelCNN, make_pixelcnn_sampler, pixelcnn_loss
 from vae_music_tpu.models.vqvae import init_vqvae, vqvae_decode, vqvae_encode
+import pytest
 
 
+@pytest.mark.slow
 def test_pixelcnn_prior_over_vq_codes():
     cfg = VQVAEConfig(
         sample_length=512, levels=1, latent_dim=8, codebook_size=16,

@@ -108,6 +108,7 @@ def test_ycond_replaces_start_token_embedding():
                                np.asarray(emb_without[:, 1:]))
 
 
+@pytest.mark.slow
 def test_forward_shapes_top_and_upsampler():
     vcfg = _vqvae_cfg()
     for level, cond in [(1, False), (0, True)]:
@@ -149,6 +150,7 @@ def test_prior_train_step_learns_and_updates_label_embedding():
     np.testing.assert_allclose(float(m["perplexity"]), np.exp(losses[-1]), rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_upsampler_train_and_eval():
     vcfg = _vqvae_cfg()
     vp, cbs = init_vqvae(jax.random.PRNGKey(0), vcfg)
@@ -164,6 +166,7 @@ def test_upsampler_train_and_eval():
     assert np.isfinite(float(em["loss"]))
 
 
+@pytest.mark.slow
 def test_prior_without_labels():
     vcfg = _vqvae_cfg()
     vp, cbs = init_vqvae(jax.random.PRNGKey(0), vcfg)

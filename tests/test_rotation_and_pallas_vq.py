@@ -40,6 +40,86 @@ def test_rotation_gradient_differs_from_ste_but_same_forward():
     assert np.isfinite(n_rot).all() and (n_rot > 0).any()
 
 
+def test_quantize_sharded_pallas_path_matches_xla():
+    """mesh= routes through fused_vq_assign_sharded (shard_map + psum'd EMA
+    partials); must match the jnp path exactly on the 8-device CPU mesh."""
+    from vae_music_tpu.parallel.mesh import create_mesh
+
+    mesh = create_mesh()  # all 8 CPU devices on the "data" axis
+    state = init_codebook(jax.random.PRNGKey(0), 8, 16)
+    z = jax.random.normal(jax.random.PRNGKey(1), (8, 300, 8))
+    rng = jax.random.PRNGKey(2)
+    a = quantize(state, z, train=True, rng=rng, use_pallas=False)
+    b = quantize(state, z, train=True, rng=rng, use_pallas=True, mesh=mesh,
+                 pallas_interpret=True)
+    np.testing.assert_array_equal(np.asarray(a.codes), np.asarray(b.codes))
+    np.testing.assert_allclose(np.asarray(a.quantized), np.asarray(b.quantized),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(a.state.N_t), np.asarray(b.state.N_t),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(a.state.embeddings),
+                               np.asarray(b.state.embeddings),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_sharded_train_step_through_pallas_kernel():
+    """The DP train step with mesh= + use_pallas routes assignment through
+    the shard_map'd kernel and must match the jnp-path step (params, EMA
+    codebooks, metrics)."""
+    import optax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from vae_music_tpu.configs import VQVAEConfig
+    from vae_music_tpu.models.vqvae import init_vqvae
+    from vae_music_tpu.parallel.mesh import create_mesh
+    from vae_music_tpu.train.state import VQVAETrainState
+    from vae_music_tpu.train.vqvae_step import make_vqvae_train_step
+
+    cfg = VQVAEConfig(
+        sample_length=256, levels=1, latent_dim=8, codebook_size=16,
+        down_depth=(3,), strides=(2,), residual_width=8, residual_depth=1,
+        dilation_factor=3, use_spectral_loss=False,
+    ).validate()
+    mesh = create_mesh()  # all 8 CPU devices on the "data" axis
+    rng = jax.random.PRNGKey(0)
+    params, cbs = init_vqvae(rng, cfg)
+    batch = jax.random.normal(jax.random.PRNGKey(1), (16, 256, 1))
+    sharded_batch = jax.device_put(batch, NamedSharding(mesh, P("data")))
+
+    def run(step, b):
+        state = VQVAETrainState.create(params, cbs, optax.adam(1e-3))
+        state, metrics = step(state, b, rng)
+        return state, metrics
+
+    ref_state, ref_m = run(make_vqvae_train_step(cfg, donate=False), batch)
+
+    import vae_music_tpu.ops.vq_pallas as vqp
+    orig = vqp.fused_vq_assign
+
+    def interp(flat, embeddings, **kw):
+        kw["interpret"] = True
+        return orig(flat, embeddings, **kw)
+
+    vqp.fused_vq_assign = interp
+    try:
+        k_state, k_m = run(
+            make_vqvae_train_step(cfg, donate=False, mesh=mesh,
+                                  use_pallas=True),
+            sharded_batch)
+    finally:
+        vqp.fused_vq_assign = orig
+
+    np.testing.assert_allclose(float(ref_m["loss"]), float(k_m["loss"]),
+                               rtol=1e-5, atol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(ref_state.params),
+                    jax.tree_util.tree_leaves(k_state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ref_state.codebooks[0].embeddings),
+                               np.asarray(k_state.codebooks[0].embeddings),
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_quantize_pallas_path_matches_xla():
     """use_pallas=True must produce identical codes/quantized/EMA state
     (kernel runs in interpret mode on CPU)."""

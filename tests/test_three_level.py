@@ -10,6 +10,7 @@ from vae_music_tpu.data.audio import synthetic_audio_batch
 from vae_music_tpu.models.prior import level_spec
 from vae_music_tpu.models.vqvae import init_vqvae, vqvae_encode
 from vae_music_tpu.sample.sampler import AncestralSampler
+import pytest
 
 
 def _vcfg():
@@ -31,6 +32,7 @@ def test_three_level_geometry():
     assert s2.cond_downsample_rate is None
 
 
+@pytest.mark.slow
 def test_three_level_encode_and_ancestral_sampling():
     vcfg = _vcfg()
     params, cbs = init_vqvae(jax.random.PRNGKey(0), vcfg)

@@ -77,6 +77,7 @@ def test_train_loop_with_monitor(tmp_path):
     mngr.close()
 
 
+@pytest.mark.slow
 def test_train_prior_loop():
     cfg = _tiny_cfg()
     pcfg = PriorConfig(level=0, levels=1, bins=17, width=32, depth=2, heads=2,
@@ -158,6 +159,128 @@ def test_random_sample_prefers_low_loss_and_rejects_degenerate():
     assert frac < 0.9
 
 
+def test_histogram_logging(tmp_path):
+    """PriorMonitor(log_histograms=True) writes per-leaf weight AND gradient
+    histograms (reference prior.py:306-316)."""
+    import json
+
+    from vae_music_tpu.train.monitors import PriorMonitor
+    from vae_music_tpu.train.prior_step import (
+        default_prior_optimizer,
+        init_prior,
+        make_prior_grad_fn,
+    )
+    from vae_music_tpu.train.state import PriorTrainState
+
+    vcfg = _tiny_cfg()
+    pcfg = PriorConfig(level=0, levels=1, bins=17, width=32, depth=2, heads=2,
+                       blocks=4, attn_stacks=1, dropout=0.0, genre_classes=10)
+    vq_params, cbs = init_vqvae(jax.random.PRNGKey(0), vcfg)
+    _, params = init_prior(jax.random.PRNGKey(1), vcfg, pcfg)
+    state = PriorTrainState.create(params, default_prior_optimizer(pcfg))
+
+    audio = jnp.asarray(synthetic_audio_batch(0, 2, vcfg.sample_length)[0])
+    labels = jnp.zeros((2,), jnp.int32)
+    grad_fn = make_prior_grad_fn(vcfg, pcfg, vq_params, cbs)
+
+    mon = PriorMonitor(str(tmp_path), log_histograms=True, hist_interval=1,
+                       grad_fn=grad_fn, val_batch=(audio, labels))
+    mon.on_epoch_end(1, state)
+
+    param_npz = tmp_path / "histograms" / "step00000000_param.npz"
+    grad_npz = tmp_path / "histograms" / "step00000000_grad.npz"
+    assert param_npz.exists() and grad_npz.exists()
+
+    leaf_sizes = {
+        "param/" + "/".join(str(getattr(p, "key", p)) for p in path):
+            int(np.size(leaf))
+        for path, leaf in jax.tree_util.tree_flatten_with_path(state.params)[0]
+    }
+    data = np.load(str(param_npz))
+    counts = [k for k in data.files if k.endswith("__counts")]
+    assert len(counts) == len(leaf_sizes)
+    for k in counts:
+        name = k[: -len("__counts")]
+        # histogram counts cover every element of the leaf
+        assert int(data[k].sum()) == leaf_sizes[name]
+        assert f"{name}__edges" in data.files
+
+    gdata = np.load(str(grad_npz))
+    assert len([k for k in gdata.files if k.endswith("__counts")]) == len(leaf_sizes)
+
+    # JSONL index carries summary moments for both trees
+    lines = [json.loads(l) for l in
+             open(tmp_path / "histograms" / "index.jsonl")]
+    names = [n for rec in lines for n in rec if n not in ("step", "time")]
+    assert any(n.startswith("param/") for n in names)
+    assert any(n.startswith("grad/") for n in names)
+
+
+@pytest.mark.slow
+def test_random_sample_condition_aware():
+    """Conditioned best-of-N (same y_cond threaded through decode AND score,
+    autoregressive_fmha.py:242-302) beats the unconditioned search on a toy
+    prior trained to emit label-specific token patterns."""
+    from vae_music_tpu.models.prior import FMHAPrior, shift_right_with_start
+    from vae_music_tpu.sample.decode import make_decode_fn
+    from vae_music_tpu.train.prior_step import init_prior
+
+    vcfg = VQVAEConfig(
+        sample_length=256, levels=1, latent_dim=8, codebook_size=16,
+        down_depth=(3,), strides=(2,), residual_width=8, residual_depth=1,
+        dilation_factor=3, use_spectral_loss=False,
+    ).validate()
+    pcfg = PriorConfig(level=0, levels=1, bins=17, width=32, depth=2, heads=2,
+                       blocks=4, attn_stacks=1, dropout=0.0, genre_classes=2)
+    ctx = vcfg.z_lengths[0]
+    model, params = init_prior(jax.random.PRNGKey(0), vcfg, pcfg)
+
+    # Label-specific targets: y=0 -> 3,4,3,4,...  y=1 -> 7,8,7,8,...
+    pat = {0: jnp.tile(jnp.array([3, 4], jnp.int32), ctx // 2),
+           1: jnp.tile(jnp.array([7, 8], jnp.int32), ctx // 2)}
+    targets = jnp.stack([pat[0], pat[1]])                  # (2, ctx)
+    tokens = shift_right_with_start(targets, pcfg.bins - 1)
+    y = jnp.array([0, 1], jnp.int32)
+
+    tx = optax.adam(1e-2)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def train_step(params, opt_state):
+        def loss_fn(p):
+            y_cond = model.apply(p, y, method=FMHAPrior.embed_labels)
+            logits, _ = model.apply(p, tokens, None, y_cond)
+            logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+            nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)
+            return jnp.mean(nll)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    for _ in range(150):
+        params, opt_state, loss = train_step(params, opt_state)
+    assert float(loss) < 0.05
+
+    dec = make_decode_fn(pcfg, ctx, 4)
+    y0_cond = model.apply(params, jnp.zeros((4,), jnp.int32),
+                          method=FMHAPrior.embed_labels)
+
+    best_c, loss_c = random_sample(
+        dec, make_score_fn(model, y_cond=y0_cond), params,
+        jax.random.PRNGKey(1), bins=pcfg.bins, iterations=3, token_freq=0.6,
+        decode_args=(None, y0_cond))
+    best_u, loss_u = random_sample(
+        dec, make_score_fn(model), params,
+        jax.random.PRNGKey(1), bins=pcfg.bins, iterations=3, token_freq=0.6)
+
+    # Conditioned search reproduces the y=0 pattern and scores better.
+    frac_pattern = float(jnp.mean(jnp.isin(best_c[1:], jnp.array([3, 4]))))
+    assert frac_pattern > 0.9
+    assert float(loss_c) < float(loss_u)
+
+
+@pytest.mark.slow
 def test_grad_accumulation_prior():
     """accum_steps=k: params frozen for k-1 microsteps, then one update equal
     to a plain step on the same (repeated) batch — optax.MultiSteps averages

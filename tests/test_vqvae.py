@@ -123,6 +123,7 @@ def test_codebook_state_updates_in_train_but_not_eval():
     _ = ev(state, x)  # eval must not require rng nor touch state
 
 
+@pytest.mark.slow
 def test_train_step_sharded_equals_single_device():
     """DP over the 8-device CPU mesh must produce the same update."""
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P

@@ -189,23 +189,36 @@ class Prior:
                                    jnp.asarray(prime))
 
     def random_sample(self, seq_length: Optional[int] = None,
+                      z_cond=None, y=None,
                       iterations: int = 10, batch_per_iter: int = 4,
                       token_freq: float = 0.50,
                       rng: Optional[jax.Array] = None):
         """Best-of-N random-search sampling
-        (autoregressive_fmha.py:242-302).  Returns (best_tokens, best_loss)."""
+        (autoregressive_fmha.py:242-302).  Returns (best_tokens, best_loss).
+
+        ``z_cond``/``y`` condition BOTH the candidate decode and the scoring
+        forward, matching the reference (which threads the same x_cond/y_cond
+        through sample and loss, autoregressive_fmha.py:258-267).  Candidate
+        selection runs on-device; no per-iteration host syncs.
+        """
         from vae_music_tpu.sample.search import make_score_fn, random_sample
 
         if rng is None:
             self._rng, rng = jax.random.split(self._rng)
-        key = (batch_per_iter, SampleMode.GUMBEL, 0)
+        seq_length = self.context_length if seq_length is None else seq_length
+        key = ("search", batch_per_iter, SampleMode.GUMBEL, seq_length)
         if key not in self._decoders:
-            self._decoders[key] = make_decode_fn(self.cfg, self.context_length,
+            self._decoders[key] = make_decode_fn(self.cfg, seq_length,
                                                  batch_per_iter)
-        score = make_score_fn(self.model)
+        x_cond = (self._cond(self.state.params, jnp.asarray(z_cond))
+                  if z_cond is not None else None)
+        y_cond = (self._labels(self.state.params, jnp.asarray(y))
+                  if (y is not None and self._labels) else None)
+        score = make_score_fn(self.model, x_cond=x_cond, y_cond=y_cond)
         return random_sample(self._decoders[key], score, self.state.params,
                              rng, bins=self.cfg.bins, iterations=iterations,
-                             token_freq=token_freq)
+                             token_freq=token_freq,
+                             decode_args=(x_cond, y_cond))
 
 
 class VQVAESampler:

@@ -212,13 +212,47 @@ def _jukebox_small_prior() -> PriorConfig:
     )
 
 
+def _jukebox_vqvae() -> VQVAEConfig:
+    # Jukebox small_vqvae geometry (SMALL_VQ_VAE_model_structure: 2 levels,
+    # hops 32x/256x, K=1024 per the SMALL_* dumps' Embedding(1024, 1024)).
+    # sample_length 262144 gives the upsampler its ctx-8192 level-0 grid.
+    return VQVAEConfig(
+        sample_length=262144, levels=2, down_depth=(5, 3), strides=(2, 2),
+        latent_dim=64, codebook_size=1024, residual_width=32,
+        dilation_factor=3,
+    ).validate()
+
+
+def _jukebox_small_upsampler() -> PriorConfig:
+    # Production-scale geometry matching the Jukebox SMALL_UPSAMPLER dump
+    # (/root/reference/SMALL_UPSAMPLER_model_structure:2-80): conditioner
+    # Embedding(1024, 1024) + dilated DecoderConvBlock (width 512, 16
+    # residual blocks per upsampling stage, dilation cycle 8 -> 3^7=2187)
+    # feeding a width-1024 depth-48 factorized transformer over ctx 8192.
+    # The dump counts 218,015,232 params; this instantiates to 282M
+    # (transformer 189M, conditioner 82M) because the small-scale reference
+    # we mirror uses a k=3 causal-conv QKV (factorized_attention.py:36)
+    # where Jukebox uses k=1, and its DecoderConvBlock resnets bottleneck
+    # from the embed width rather than running fully at width 512.
+    # Pair with the JUKEBOX_VQVAE geometry (cond rate 2**3=8, cond len 1024).
+    return PriorConfig(
+        level=0, levels=2, bins=1025, width=1024, depth=48, heads=2,
+        blocks=8, attn_stacks=1, dropout=0.0, genre_classes=None,
+        conditioner=ConditionerConfig(dilation_factor=3, dilation_cycle=8,
+                                      residual_width=512, residual_depth=16),
+        dtype="bfloat16", remat=True,
+    )
+
+
 CONFIGS = {
     "SMALL_VQ_VAE": _small_vq_vae,
     "GTZAN_VQVAE": _gtzan_vqvae,
     "SMALL_PRIOR": _small_prior,
     "SMALL_UPSAMPLER": _small_upsampler,
     "FULL_PIPELINE": _full_pipeline,
+    "JUKEBOX_VQVAE": _jukebox_vqvae,
     "JUKEBOX_SMALL_PRIOR": _jukebox_small_prior,
+    "JUKEBOX_SMALL_UPSAMPLER": _jukebox_small_upsampler,
 }
 
 

@@ -122,6 +122,20 @@ def pixelcnn_loss(model: PixelCNN, params, codes, labels=None) -> jnp.ndarray:
     return jnp.mean(nll)
 
 
+def pixelcnn_log_prob(model: PixelCNN, params, codes,
+                      labels=None) -> jnp.ndarray:
+    """Per-sample log-likelihood ``log p(codes)`` — the scoring entry point
+    of ``tfp.distributions.PixelCNN.log_prob`` (tf_2_0_keras_vq_vae.ipynb
+    cells 60-92): the sum over grid positions of the autoregressive
+    categorical log-probabilities.  codes (N, H, W) or (N, T) -> (N,).
+    """
+    logits = model.apply(params, codes, labels)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    token_logp = jnp.take_along_axis(
+        logp, codes[..., None].astype(jnp.int32), axis=-1)[..., 0]
+    return jnp.sum(token_logp.reshape(token_logp.shape[0], -1), axis=-1)
+
+
 def make_pixelcnn_sampler(model: PixelCNN, grid_shape: Tuple[int, ...],
                           n_samples: int, *, mode: SampleMode = SampleMode.GUMBEL,
                           temperature: float = 1.0):

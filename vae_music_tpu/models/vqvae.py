@@ -85,16 +85,20 @@ def vqvae_apply_level(
     *,
     train: bool = False,
     rng: Optional[jax.Array] = None,
+    mesh=None,
+    use_pallas: Optional[bool] = None,
 ) -> Tuple[jnp.ndarray, VQOutput]:
     """Full forward of one level: encode -> quantize -> decode.
 
     Returns (reconstruction, VQOutput).  The VQOutput carries the updated
-    codebook state when ``train``.
+    codebook state when ``train``.  ``mesh``/``use_pallas`` steer the fused
+    VQ-kernel dispatch (see nn.quantizer.quantize).
     """
     model = VQVAE(cfg)
     z_e = model.apply(params, x, level, method=VQVAE.encode_level)
     vq = quantize(codebook, z_e, beta=cfg.commit_beta, decay=cfg.ema_decay,
-                  usage_threshold=cfg.usage_threshold, train=train, rng=rng)
+                  usage_threshold=cfg.usage_threshold, train=train, rng=rng,
+                  mesh=mesh, use_pallas=use_pallas)
     recon = model.apply(params, vq.quantized, level, method=VQVAE.decode_level)
     return recon, vq
 
@@ -122,6 +126,8 @@ def vqvae_apply(
     *,
     train: bool = False,
     rng: Optional[jax.Array] = None,
+    mesh=None,
+    use_pallas: Optional[bool] = None,
 ):
     """All-level forward (vqvae.py:178-206).
 
@@ -134,7 +140,8 @@ def vqvae_apply(
     for level in range(cfg.levels):
         level_rng = jax.random.fold_in(rng, level) if rng is not None else None
         recon, vq = vqvae_apply_level(params, codebooks[level], cfg, x, level,
-                                      train=train, rng=level_rng)
+                                      train=train, rng=level_rng, mesh=mesh,
+                                      use_pallas=use_pallas)
         losses = vqvae_level_losses(cfg, x, recon, vq)
         recons.append(recon)
         new_codebooks.append(vq.state)
@@ -157,15 +164,23 @@ def vqvae_encode(
     x: jnp.ndarray,
     start_level: int = 0,
     end_level: Optional[int] = None,
+    *,
+    mesh=None,
+    use_pallas: Optional[bool] = None,
 ) -> List[jnp.ndarray]:
-    """Integer code grids per level in [start_level, end_level) (vqvae.py:221-236)."""
+    """Integer code grids per level in [start_level, end_level) (vqvae.py:221-236).
+
+    On a single-chip TPU backend the codebook assignment auto-routes through
+    the fused Pallas kernel (ops/vq_pallas.py).
+    """
     if end_level is None:
         end_level = cfg.levels
     model = VQVAE(cfg)
     zs = []
     for level in range(start_level, end_level):
         z_e = model.apply(params, x, level, method=VQVAE.encode_level)
-        vq = quantize(codebooks[level], z_e, beta=cfg.commit_beta, train=False)
+        vq = quantize(codebooks[level], z_e, beta=cfg.commit_beta, train=False,
+                      mesh=mesh, use_pallas=use_pallas)
         zs.append(vq.codes)
     return zs
 

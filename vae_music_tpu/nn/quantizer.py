@@ -17,8 +17,11 @@ checkpointable, and — under a GSPMD-sharded train step — the batch statistic
 ``m_t_``/``N_t_`` are *global* reductions (XLA inserts the cross-replica psum),
 which is the multi-device codebook-sync requirement called out in SURVEY.md §2.2.
 
-The distance+argmin hot path dispatches to a fused Pallas kernel on TPU
-(vae_music_tpu.ops.vq_pallas) with this jnp implementation as fallback/reference.
+The distance+argmin+EMA hot path auto-dispatches (``use_pallas=None``) to a
+fused Pallas kernel on TPU (vae_music_tpu.ops.vq_pallas) — per-shard under
+shard_map with psum'd statistics when a ``mesh`` is given — with this jnp
+implementation as the CPU/GSPMD fallback and the bit-exactness reference
+(tests/test_rotation_and_pallas_vq.py).
 """
 
 from __future__ import annotations
@@ -124,7 +127,10 @@ def quantize(
     train: bool = True,
     rng: Optional[jax.Array] = None,
     gradient_mode: str = "ste",
-    use_pallas: bool = False,
+    use_pallas: Optional[bool] = None,
+    mesh=None,
+    data_axis: str = "data",
+    pallas_interpret: bool = False,
 ) -> VQOutput:
     """Quantize encoder outputs ``z_e`` of shape (..., D).
 
@@ -137,20 +143,38 @@ def quantize(
     rotation aligning z_e with its code.
 
     ``use_pallas``: route assignment + EMA statistics through the fused
-    single-pass TPU kernel (ops/vq_pallas.py).  Opt-in: the kernel wins at
-    large N (>=2x at 256k rows) but does not auto-partition under GSPMD
-    sharding — use for single-chip encode/serving paths.
+    single-pass TPU kernel (ops/vq_pallas.py).  ``None`` (default)
+    auto-dispatches: the kernel is used on a TPU backend when either a
+    ``mesh`` is given (GSPMD-safe shard_map variant — per-shard kernel,
+    psum'd EMA partials over ``data_axis``) or the process owns a single
+    chip (no sharding possible).  Multi-device programs without a mesh fall
+    back to the jnp path, whose reductions GSPMD auto-partitions.
     """
     d, k = state.embeddings.shape
     orig_shape = z_e.shape
     flat = z_e.reshape(-1, d).astype(jnp.float32)
 
+    if use_pallas is None:
+        from vae_music_tpu.ops.vq_pallas import vq_pallas_available
+
+        use_pallas = vq_pallas_available() and (
+            mesh is not None or jax.device_count() == 1)
+
     pallas_stats = None
     if use_pallas:
-        from vae_music_tpu.ops.vq_pallas import fused_vq_assign
+        from vae_music_tpu.ops.vq_pallas import (
+            fused_vq_assign,
+            fused_vq_assign_sharded,
+        )
 
-        codes, quantized, m_b, n_b = fused_vq_assign(
-            jax.lax.stop_gradient(flat), state.embeddings)
+        if mesh is not None:
+            codes, quantized, m_b, n_b = fused_vq_assign_sharded(
+                jax.lax.stop_gradient(flat), state.embeddings, mesh=mesh,
+                data_axis=data_axis, interpret=pallas_interpret)
+        else:
+            codes, quantized, m_b, n_b = fused_vq_assign(
+                jax.lax.stop_gradient(flat), state.embeddings,
+                interpret=pallas_interpret)
         pallas_stats = (jax.lax.stop_gradient(m_b), n_b)
     else:
         codes = nearest_code(flat, state.embeddings)

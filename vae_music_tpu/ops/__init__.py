@@ -4,10 +4,18 @@ Per the build plan (SURVEY.md §7 stage 3): implement fused kernels for the
 hot numeric paths, benchmark against the XLA baseline, keep whichever wins
 per shape.  Measured on TPU v5e:
 
-  * VQ codebook assignment+EMA (vq_pallas.py): XLA ~ties at flagship N
-    (28k rows: 22us vs 27us) — pallas wins ~2x at 256k rows (24us vs 41us,
-    the (N,K) distance matrix stays in VMEM).  Opt-in via
-    quantize(use_pallas=True); XLA default (auto-partitions under GSPMD).
+  * VQ codebook assignment+EMA (vq_pallas.py): measured on the v5e chip
+    (assignment + EMA statistics, D=64 K=512): 28672 rows (flagship encode
+    batch) pallas 0.82ms vs XLA 1.12ms (1.37x — the (N,K) distance matrix
+    stays in VMEM); 262144 rows ~tie (2.43ms vs 2.49ms, both HBM-bound).
+    Auto-dispatched by quantize(use_pallas=None): kernel on a TPU backend
+    (single chip, or any chip count when the caller passes a mesh —
+    fused_vq_assign_sharded runs it per-shard under shard_map with psum'd
+    EMA partials); jnp/GSPMD fallback otherwise.  On hardware ~0.4% of
+    assignments differ from the XLA path — exact numeric ties (max relative
+    distance gap 5e-5) under different MXU accumulation order; bit-exact in
+    interpret mode (tests/test_rotation_and_pallas_vq.py).  bench.py records
+    the measured kernel-vs-XLA delta.
   * Decode step (decode_pallas.py): pallas fuses ALL transformer layers of a
     token step into one kernel — level-0 decode 56us -> 34us/step; enabled
     automatically when batch*heads % 128 == 0.
@@ -18,5 +26,9 @@ per shape.  Measured on TPU v5e:
     a custom kernel cannot change.
 """
 
-from vae_music_tpu.ops.vq_pallas import fused_vq_assign, vq_pallas_available
+from vae_music_tpu.ops.vq_pallas import (
+    fused_vq_assign,
+    fused_vq_assign_sharded,
+    vq_pallas_available,
+)
 from vae_music_tpu.ops.decode_pallas import decode_pallas_available, fused_decode_step

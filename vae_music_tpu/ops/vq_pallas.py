@@ -17,7 +17,11 @@ train-time quantize needs no second pass over the data.
 
 The jnp reference implementation lives in vae_music_tpu.nn.quantizer;
 tests compare both paths bit-for-bit (argmin tie-breaking included) in
-interpret mode on CPU, and the train step auto-dispatches by backend.
+interpret mode on CPU.  Dispatch policy (see nn/quantizer.quantize):
+``quantize(use_pallas=None)`` auto-routes here on a TPU backend — directly
+for single-chip encode/serve/train, and through ``fused_vq_assign_sharded``
+(per-shard kernel + psum'd EMA partials under shard_map) when a mesh is
+given for a GSPMD data-parallel train step.
 """
 
 from __future__ import annotations
@@ -28,6 +32,12 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.sharding import Mesh, PartitionSpec as P
+
+try:  # jax >= 0.7 promotes shard_map out of experimental
+    from jax import shard_map
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
 
 try:  # pallas TPU backend
     from jax.experimental.pallas import tpu as pltpu
@@ -133,3 +143,42 @@ def fused_vq_assign(
         m_batch = m_batch - pad_flat.T @ pad_onehot
         n_batch = n_batch - jnp.sum(pad_onehot, axis=0)[None, :]
     return codes, quant, m_batch, n_batch[0]
+
+
+def fused_vq_assign_sharded(
+    flat: jnp.ndarray,        # (N, D) rows sharded over `data_axis`
+    embeddings: jnp.ndarray,  # (D, K) replicated codebook
+    *,
+    mesh: Mesh,
+    data_axis: str = "data",
+    tile: int = 1024,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """GSPMD-safe fused assignment for data-parallel train steps.
+
+    A bare pallas_call inside a GSPMD-sharded program would be replicated
+    (full all-gather of the encoder outputs); this wrapper runs the kernel
+    per shard under shard_map and ``psum``s the EMA partial statistics over
+    ``data_axis``, so the returned ``m_batch``/``n_batch`` are *global*
+    batch sums — the cross-replica codebook-sync requirement of
+    /root/reference/VectorQuantizer.py:123-131 under data parallelism
+    (SURVEY.md §2.2).  codes/quantized stay sharded like the input rows.
+    """
+    def shard_fn(flat_shard, emb):
+        codes, quant, m_b, n_b = fused_vq_assign(
+            flat_shard, emb, tile=tile, interpret=interpret)
+        return (codes, quant,
+                jax.lax.psum(m_b, data_axis), jax.lax.psum(n_b, data_axis))
+
+    kwargs = dict(
+        mesh=mesh,
+        in_specs=(P(data_axis), P()),
+        out_specs=(P(data_axis), P(data_axis), P(), P()),
+    )
+    try:
+        # pallas_call's out_shape carries no varying-mesh-axes info, so the
+        # replication checker must be off (the psums make the stats safe).
+        wrapped = shard_map(shard_fn, check_vma=False, **kwargs)
+    except TypeError:  # pragma: no cover - older jax spells it check_rep
+        wrapped = shard_map(shard_fn, check_rep=False, **kwargs)
+    return wrapped(flat, embeddings)

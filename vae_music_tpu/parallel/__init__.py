@@ -1,4 +1,9 @@
 from vae_music_tpu.parallel.mesh import create_mesh, batch_sharding, replicated_sharding
+from vae_music_tpu.parallel.input import (
+    host_local_rows,
+    host_local_slice,
+    put_global_batch,
+)
 from vae_music_tpu.parallel.sharding import prior_param_sharding, shard_pytree
 from vae_music_tpu.parallel.ring_attention import sequence_parallel_attention
 from vae_music_tpu.parallel.pipeline import (

@@ -36,23 +36,37 @@ def random_sample(
     token_freq: float = 0.50,
     decode_args: tuple = (),
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Returns (best_tokens (T+1,), best_loss scalar)."""
-    best_loss = jnp.inf
+    """Returns (best_tokens (T+1,), best_loss scalar).
+
+    The running best is kept on-device (jnp.where selection) — no per-
+    iteration host sync; the only host transfer is the final result.  The
+    reference's python-side compare loop (autoregressive_fmha.py:268-295)
+    would serialize device/host on a TPU.
+    """
     best = None
-    for i in range(iterations):
+    best_loss = jnp.float32(jnp.inf)
+    last_best = None          # fallback if every candidate is degenerate
+    last_best_loss = None
+    for _ in range(iterations):
         rng, step = jax.random.split(rng)
         tokens = decode_fn(params, step, *decode_args)
         losses = score_fn(params, tokens)                     # (N,)
+        raw_idx = jnp.argmin(losses)
+        last_best = tokens[raw_idx]
+        last_best_loss = losses[raw_idx]
         # Reject degenerate candidates (single token >= token_freq of seq).
         frac = token_mode_fraction(tokens[:, 1:], bins)
         losses = jnp.where(frac >= token_freq, jnp.inf, losses)
-        idx = int(jnp.argmin(losses))
-        if float(losses[idx]) < float(best_loss):
-            best_loss = losses[idx]
-            best = tokens[idx]
-    if best is None:  # every candidate degenerate — return the last batch's best
-        best = tokens[idx]
-        best_loss = losses[idx]
+        idx = jnp.argmin(losses)
+        cand, cand_loss = tokens[idx], losses[idx]
+        if best is None:
+            best, best_loss = cand, cand_loss
+        else:
+            better = cand_loss < best_loss
+            best = jnp.where(better, cand, best)
+            best_loss = jnp.minimum(cand_loss, best_loss)
+    if not jnp.isfinite(float(best_loss)):  # all degenerate: last batch's best
+        return last_best, last_best_loss
     return best, best_loss
 
 

@@ -7,5 +7,7 @@ from vae_music_tpu.train.optim import (
 )
 from vae_music_tpu.train.prior_step import (
     default_prior_optimizer,
+    make_prior_grad_fn,
     make_prior_train_step,
 )
+from vae_music_tpu.train.metrics import HistogramLogger

@@ -34,16 +34,23 @@ from vae_music_tpu.train.vqvae_step import make_vqvae_train_step
 
 def _batches(x: np.ndarray, y: Optional[np.ndarray], batch_size: int,
              rng: np.random.Generator, sharding=None):
-    """Shuffled, drop-remainder batching with optional device sharding."""
+    """Shuffled, drop-remainder batching with optional device sharding.
+
+    Multi-host: builds the global array from per-host rows
+    (parallel/input.py — jax.make_array_from_process_local_data); each
+    process supplies batch_size // process_count rows of every step.
+    """
+    from vae_music_tpu.parallel.input import put_global_batch
+
     idx = rng.permutation(len(x))
     for i in range(0, len(x) - batch_size + 1, batch_size):
         sel = idx[i : i + batch_size]
         xb = jnp.asarray(x[sel])
         yb = jnp.asarray(y[sel]) if y is not None else None
         if sharding is not None:
-            xb = jax.device_put(xb, sharding)
+            xb = put_global_batch(xb, sharding)
             if yb is not None:
-                yb = jax.device_put(yb, sharding)
+                yb = put_global_batch(yb, sharding)
         yield xb, yb
 
 

@@ -78,6 +78,57 @@ def write_wav(path: str, waveform: np.ndarray, sample_rate: int = SAMPLE_RATE) -
         f.writeframes(pcm.tobytes())
 
 
+class HistogramLogger:
+    """Per-leaf histograms of parameter / gradient pytrees.
+
+    Equivalent of the reference's optional-but-expensive TensorBoard
+    histograms of every variable and gradient (prior.py:306-316), without
+    the TF dependency: each ``log`` call writes one compressed ``.npz``
+    snapshot (``<leaf>__counts`` / ``<leaf>__edges`` arrays per leaf) plus a
+    JSONL line of summary moments (mean/std/min/max/rms) per leaf.
+    """
+
+    def __init__(self, log_dir: str, name: str = "histograms", bins: int = 64):
+        self.dir = os.path.join(log_dir, name)
+        os.makedirs(self.dir, exist_ok=True)
+        self.bins = bins
+        self.index_path = os.path.join(self.dir, "index.jsonl")
+
+    @staticmethod
+    def _leaves(tree, prefix: str):
+        import jax
+
+        flat = jax.tree_util.tree_flatten_with_path(tree)[0]
+        for path, leaf in flat:
+            name = prefix + "/".join(
+                str(getattr(p, "key", getattr(p, "idx", p))) for p in path)
+            yield name, np.asarray(leaf)
+
+    def log(self, step: int, tree, prefix: str = "") -> str:
+        """Write histograms of every array leaf in ``tree``; returns npz path.
+
+        ``prefix`` namespaces the leaves (e.g. 'param/', 'grad/') and keeps
+        snapshots of different trees at the same step in distinct files.
+        """
+        arrays, summary = {}, {"step": int(step), "time": time.time()}
+        for name, leaf in self._leaves(tree, prefix):
+            flat = leaf.reshape(-1).astype(np.float64)
+            counts, edges = np.histogram(flat, bins=self.bins)
+            arrays[f"{name}__counts"] = counts
+            arrays[f"{name}__edges"] = edges
+            summary[name] = {
+                "mean": float(flat.mean()), "std": float(flat.std()),
+                "min": float(flat.min()), "max": float(flat.max()),
+                "rms": float(np.sqrt(np.mean(flat ** 2))),
+            }
+        tag = "_" + prefix.strip("/") if prefix else ""
+        path = os.path.join(self.dir, f"step{int(step):08d}{tag}.npz")
+        np.savez_compressed(path, **arrays)
+        with open(self.index_path, "a") as f:
+            f.write(json.dumps(summary) + "\n")
+        return path
+
+
 def codebook_usage_report(n_t: np.ndarray, threshold: float = 1.0) -> Dict[str, float]:
     """Codebook-health snapshot (tf_utils.py:82-90, VectorQuantizer.py:149-159)."""
     n_t = np.asarray(n_t)

@@ -22,6 +22,7 @@ import jax
 import numpy as np
 
 from vae_music_tpu.train.metrics import (
+    HistogramLogger,
     MeanAggregator,
     ScalarLogger,
     codebook_usage_report,
@@ -99,9 +100,12 @@ class PriorMonitor:
         val_batch=None,
         sample_fn: Optional[Callable] = None,     # (state, rng) -> waveform batch
         attn_fn: Optional[Callable] = None,       # (state, audio, labels) -> {name: (N,H,L,L)}
+        grad_fn: Optional[Callable] = None,       # (state, audio, labels) -> grads pytree
+        log_histograms: bool = False,
         ckpt_interval: int = 20,
         val_interval: int = 10,
         sample_interval: int = 50,
+        hist_interval: int = 50,
         sample_rate: int = 3000,
     ):
         self.out_dir = out_dir
@@ -110,13 +114,17 @@ class PriorMonitor:
         self.val_batch = val_batch
         self.sample_fn = sample_fn
         self.attn_fn = attn_fn
+        self.grad_fn = grad_fn
         self.ckpt_interval = ckpt_interval
         self.val_interval = val_interval
         self.sample_interval = sample_interval
+        self.hist_interval = hist_interval
         self.sample_rate = sample_rate
         self.agg = MeanAggregator()
         self.train_log = ScalarLogger(out_dir, "prior_train")
         self.val_log = ScalarLogger(out_dir, "prior_val")
+        # Optional weight/grad histograms (prior.py:306-316 'EXPENSIVE').
+        self.hist_log = (HistogramLogger(out_dir) if log_histograms else None)
 
     def on_step(self, step: int, metrics) -> None:
         self.agg.update(metrics)
@@ -155,3 +163,12 @@ class PriorMonitor:
                 write_wav(os.path.join(self.out_dir, "samples",
                                        f"epoch{epoch}_sample{i}.wav"),
                           wavs[i], self.sample_rate)
+
+        if self.hist_log is not None and epoch % self.hist_interval == 0:
+            # Weight + (optional) gradient histograms (prior.py:309-316).
+            self.hist_log.log(int(state.step), state.params, prefix="param/")
+            if self.grad_fn is not None and self.val_batch is not None:
+                audio, labels = self.val_batch
+                self.hist_log.log(int(state.step),
+                                  self.grad_fn(state, audio, labels),
+                                  prefix="grad/")

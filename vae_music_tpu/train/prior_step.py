@@ -138,6 +138,36 @@ def make_prior_train_step(
                    static_argnums=())
 
 
+def make_prior_grad_fn(vqvae_cfg, prior_cfg, vqvae_params, codebooks):
+    """Jitted gradient snapshot for histogram logging (prior.py:306-316).
+
+    Returns ``grad_fn(state, audio, labels) -> grads`` — the teacher-forced
+    token-loss gradient of every prior parameter (deterministic: no dropout,
+    no scheduled-sampling mix), computed on demand so the expensive logging
+    (flagged EXPENSIVE in the reference) costs nothing on ordinary steps.
+    """
+    model = build_fmha_prior(vqvae_cfg, prior_cfg)
+    level = prior_cfg.level
+    levels = vqvae_cfg.levels
+    conditioned = prior_cfg.conditioner is not None
+    start_token = prior_cfg.bins - 1
+
+    def grad_fn(state: PriorTrainState, audio, labels):
+        zs = vqvae_encode(vqvae_params, codebooks, vqvae_cfg, audio, level, levels)
+        codes = zs[0]
+        upper = zs[1] if conditioned else None
+        latent_input = shift_right_with_start(codes, start_token)
+
+        def loss_fn(params):
+            logits = _forward(model, params, latent_input, upper, labels,
+                              train=False)
+            return token_loss(codes, logits)
+
+        return jax.grad(loss_fn)(state.params)
+
+    return jax.jit(grad_fn)
+
+
 def make_prior_eval_step(vqvae_cfg, prior_cfg, vqvae_params, codebooks):
     model = build_fmha_prior(vqvae_cfg, prior_cfg)
     level = prior_cfg.level
