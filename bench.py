@@ -99,14 +99,22 @@ def main():
     audio_seconds = n_samples * vcfg.sample_length / SAMPLE_RATE
     clips_per_sec = audio_seconds / gen_dt
 
+    # MFU / roofline for the whole chain (XLA's own cost model).
+    flops, hbm_bytes = _cost_analysis(chain.lower(jax.random.PRNGKey(1), y)
+                                      .compile())
+    n_decode_steps = sum(s.ctx_len for s in sampler.specs)  # sequential tokens
+    mfu = (flops / gen_dt / V5E_PEAK_BF16_FLOPS) if flops else None
+    hbm_util = (hbm_bytes / gen_dt / V5E_HBM_BW) if hbm_bytes else None
+
     # ---- encode: waveform -> codebook tokens ------------------------------
     x = jnp.asarray(np.random.default_rng(0).standard_normal(
         (32, vcfg.sample_length, 1)), jnp.float32)
     import dataclasses
 
-    def measure_encode(cfg):
+    def measure_encode(cfg, use_pallas=None):
         enc = jax.jit(
-            lambda p, c, xx: [z.sum() for z in vqvae_encode(p, c, cfg, xx)])
+            lambda p, c, xx: [z.sum() for z in vqvae_encode(
+                p, c, cfg, xx, use_pallas=use_pallas)])
         zs = enc(sampler.vqvae_params, sampler.codebooks, x)
         _ = [float(z) for z in zs]
         t0 = time.time()
@@ -116,9 +124,48 @@ def main():
         enc_dt = (time.time() - t0) / 50
         return sum(x.shape[0] * zl for zl in cfg.z_lengths) / enc_dt
 
-    tokens_per_sec = measure_encode(vcfg)
+    tokens_per_sec = measure_encode(vcfg)           # auto: fused VQ kernel on TPU
+    tokens_per_sec_xla = measure_encode(vcfg, use_pallas=False)
     tokens_per_sec_bf16 = measure_encode(
         dataclasses.replace(vcfg, dtype="bfloat16"))
+
+    # Isolated VQ assignment+EMA: fused Pallas kernel vs the XLA path, at the
+    # flagship encode row count (records the kernel's measured speedup).
+    from vae_music_tpu.nn.quantizer import codebook_lookup, init_codebook, nearest_code
+    from vae_music_tpu.ops.vq_pallas import fused_vq_assign, vq_pallas_available
+
+    def _time_assign(fn, flat, emb, iters=100):
+        out = fn(flat, emb)
+        _ = float(out[3].sum())
+        t0 = time.time()
+        for _ in range(iters):
+            out = fn(flat, emb)
+        _ = float(out[3].sum())
+        return (time.time() - t0) / iters
+
+    vq_us = {}
+    if vq_pallas_available():
+        st = init_codebook(jax.random.PRNGKey(1), vcfg.latent_dim,
+                           vcfg.codebook_size)
+        flat = jax.random.normal(jax.random.PRNGKey(2),
+                                 (32 * vcfg.z_lengths[0], vcfg.latent_dim))
+
+        def xla_assign(f, e):
+            codes = nearest_code(f, e)
+            q = codebook_lookup(codes, e)
+            onehot = jax.nn.one_hot(codes, e.shape[1], dtype=jnp.float32)
+            m = jnp.dot(f.T, onehot, preferred_element_type=jnp.float32)
+            return codes, q, m, jnp.sum(onehot, axis=0)
+
+        vq_us = {
+            "vq_assign_us_xla": round(_time_assign(
+                jax.jit(xla_assign), flat, st.embeddings) * 1e6, 1),
+            "vq_assign_us_pallas": round(_time_assign(
+                jax.jit(lambda f, e: fused_vq_assign(f, e)), flat,
+                st.embeddings) * 1e6, 1),
+        }
+        vq_us["vq_kernel_speedup"] = round(
+            vq_us["vq_assign_us_xla"] / vq_us["vq_assign_us_pallas"], 2)
 
     baseline = _load_baseline()
     vs_baseline = (clips_per_sec / baseline["clips_per_sec"]) if baseline else 0.0
@@ -133,9 +180,17 @@ def main():
             "generate_wall_sec_per_batch": round(gen_dt, 3),
             "batch": n_samples,
             "audio_seconds_per_batch": audio_seconds,
+            "decode_step_us": round(gen_dt / n_decode_steps * 1e6, 1),
+            "chain_flops_per_batch": flops,
+            "chain_hbm_bytes_per_batch": hbm_bytes,
+            "mfu_vs_bf16_peak": round(mfu, 4) if mfu is not None else None,
+            "hbm_bw_utilization": (round(hbm_util, 4)
+                                   if hbm_util is not None else None),
             "encode_tokens_per_sec": round(tokens_per_sec),
+            "encode_tokens_per_sec_xla": round(tokens_per_sec_xla),
             "encode_tokens_per_sec_bf16": round(tokens_per_sec_bf16),
             "encode_vs_baseline": round(enc_vs, 2),
+            **vq_us,
             "device": str(jax.devices()[0]),
         },
     }

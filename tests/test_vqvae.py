@@ -158,5 +158,11 @@ def test_named_configs():
         cfg.validate()
     assert get_config("SMALL_PRIOR").level == 1
     assert get_config("SMALL_UPSAMPLER").conditioner is not None
+    jv = get_config("JUKEBOX_VQVAE")
+    jv.validate()
+    assert jv.z_lengths == (8192, 1024)  # upsampler ctx 8192, cond len 1024
+    ju = get_config("JUKEBOX_SMALL_UPSAMPLER")
+    assert ju.conditioner is not None and ju.conditioner.dilation_cycle == 8
+    assert ju.width == 1024 and ju.depth == 48 and ju.remat
     with pytest.raises(KeyError):
         get_config("NOPE")
