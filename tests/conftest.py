@@ -11,3 +11,10 @@ os.environ["XLA_FLAGS"] = (
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent compilation cache: jit compiles dominate suite wall-time; repeat
+# runs (CI, the fast tier during development) skip them entirely.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.expanduser("~/.cache/vmt_jax_cache_cpu"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)

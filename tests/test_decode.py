@@ -37,7 +37,7 @@ def _prior_cfg(level, cond=False, **kw):
 
 @pytest.mark.parametrize("level,cond,kw", [
     (1, False, {}),                      # top prior, row/col/prev_row schedule
-    (0, True, {}),                       # upsampler with x_cond
+    pytest.param(0, True, {}, marks=pytest.mark.slow),  # upsampler with x_cond
     pytest.param(1, False, {"attn_stacks": 0}, marks=pytest.mark.slow),  # row/col schedule
     pytest.param(1, False, {"heads": 1}, marks=pytest.mark.slow),        # single head
     pytest.param(1, False, {"pos_emb": False}, marks=pytest.mark.slow),  # sinusoidal positions

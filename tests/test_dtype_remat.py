@@ -43,6 +43,7 @@ def test_vqvae_bf16_trains():
     assert float(m["loss"]) < first
 
 
+@pytest.mark.slow
 def test_prior_bf16_and_remat_train():
     vcfg = _vcfg()
     vp, cbs = init_vqvae(jax.random.PRNGKey(0), vcfg)

@@ -170,6 +170,7 @@ def test_cvae_mulaw_forward_and_loss():
     assert np.isfinite(float(loss))
 
 
+@pytest.mark.slow
 def test_cvae_trains():
     model = CVAE(sample_length=256, latent_dim=8)
     x = jnp.asarray(np.sin(np.linspace(0, 20, 256, dtype=np.float32)))[None, :, None]

@@ -28,7 +28,8 @@ def _setup(attn_stacks=1):
 
 
 @pytest.mark.parametrize("n_stages,micro", [
-    pytest.param(4, 4, marks=pytest.mark.slow), (2, 8), (4, 2)])
+    pytest.param(4, 4, marks=pytest.mark.slow),
+    pytest.param(2, 8, marks=pytest.mark.slow), (4, 2)])
 def test_pipeline_matches_single_device(n_stages, micro):
     tf, params, x, ref = _setup()
     mesh = Mesh(np.array(jax.devices()[:n_stages]), ("pipe",))
