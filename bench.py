@@ -69,15 +69,19 @@ def main():
 
     scfg = get_config("FULL_PIPELINE")
     vcfg = scfg.vqvae
-    # Generation throughput peaks at batch 256 + bf16 KV caches (measured:
-    # 64 -> 14.6k, 128 -> 18.5k, 256 -> 25.8k, 512 -> 21.9k clips/s — the
-    # 512 case lane-tiles the decode kernel's attention to fit VMEM, and the
-    # serialized tile DMAs cost more than the batch amortizes).  bf16 caches
-    # halve the per-step DMA; fidelity guarded by tests/test_decode_pallas.py.
+    # Generation throughput peaks at batch 256 (measured with the prefetch-
+    # pipelined sampling kernel + bf16 serving stacks: 256 -> 38.4k, 512 ->
+    # 29.8k clips/s).  bf16 KV caches halve the per-step DMA; serve_dtype
+    # bf16 runs the conditioner/VQ-decoder conv stacks in bf16 (serving
+    # config — loss-parity numbers in PARITY.md are measured in f32);
+    # sampling happens inside the fused decode kernel (auto-enabled).
+    # Fidelity guards: tests/test_decode_pallas.py (greedy token-exact vs the
+    # XLA path) and the decode==full-forward invariant.
     n_samples = 256
 
     rng = jax.random.PRNGKey(0)
-    sampler = AncestralSampler.from_config(scfg, rng, cache_dtype="bfloat16")
+    sampler = AncestralSampler.from_config(scfg, rng, cache_dtype="bfloat16",
+                                           serve_dtype="bfloat16")
 
     # ---- generation: full ancestral chain (ONE jitted XLA program) --------
     # NOTE: on the tunneled TPU backend block_until_ready() does not reliably
@@ -191,6 +195,9 @@ def main():
             "encode_tokens_per_sec_bf16": round(tokens_per_sec_bf16),
             "encode_vs_baseline": round(enc_vs, 2),
             **vq_us,
+            "serve_dtype": "bfloat16",
+            "cache_dtype": "bfloat16",
+            "sample_in_kernel": True,
             "device": str(jax.devices()[0]),
         },
     }

@@ -48,6 +48,52 @@ def test_fused_decode_matches_xla_path(level, cond):
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.parametrize("level,cond", [(1, False), (0, True)])
+def test_fused_sample_in_kernel_greedy_matches_xla(level, cond):
+    """The fully-fused step (head + sampling + next-embed inside the kernel)
+    must reproduce the XLA scan body token-for-token under greedy sampling
+    (deterministic, so exact equality is the bar)."""
+    vcfg = _vqvae_cfg()
+    pcfg = PriorConfig(
+        level=level, levels=2, bins=17, width=32, depth=3, heads=2, blocks=4,
+        attn_stacks=1, dropout=0.0, genre_classes=10,
+        conditioner=ConditionerConfig(residual_depth=2) if cond else None)
+    model, params = init_prior(jax.random.PRNGKey(1), vcfg, pcfg)
+    ctx = vcfg.z_lengths[level]
+    n = 2
+    y_cond = model.apply(params, jnp.array([1, 2]), method=FMHAPrior.embed_labels)
+    x_cond = None
+    if cond:
+        z_cond = jax.random.randint(jax.random.PRNGKey(3), (n, ctx // 4), 0, 16)
+        x_cond = model.apply(params, z_cond, method=FMHAPrior.upsample_cond)
+
+    dec_xla = make_decode_fn(pcfg, ctx, n, mode=SampleMode.GREEDY, fused=False)
+    dec_fused = make_decode_fn(pcfg, ctx, n, mode=SampleMode.GREEDY,
+                               fused=True, fused_interpret=True,
+                               sample_in_kernel=True)
+    tok_x = dec_xla(params, jax.random.PRNGKey(2), x_cond, y_cond)
+    tok_f = dec_fused(params, jax.random.PRNGKey(2), x_cond, y_cond)
+    np.testing.assert_array_equal(np.asarray(tok_x), np.asarray(tok_f))
+
+
+def test_fused_sample_in_kernel_gumbel_smoke():
+    """Gumbel sampling inside the kernel uses the TPU hardware PRNG (only the
+    TPU interpreter implements it off-device): tokens must be valid code ids
+    — the -1e9 head padding means a padded bin can never win the argmax."""
+    vcfg = _vqvae_cfg()
+    pcfg = PriorConfig(level=1, levels=2, bins=17, width=32, depth=3, heads=2,
+                       blocks=4, attn_stacks=1, dropout=0.0)
+    _, params = init_prior(jax.random.PRNGKey(1), vcfg, pcfg)
+    ctx = vcfg.z_lengths[1]
+    dec = make_decode_fn(pcfg, ctx, 2, mode=SampleMode.GUMBEL, fused=True,
+                         fused_interpret="tpu", sample_in_kernel=True)
+    tok = np.asarray(dec(params, jax.random.PRNGKey(2), None, None))
+    assert tok.shape == (2, ctx + 1)
+    assert tok[:, 0].tolist() == [16, 16]          # start token echoed
+    assert (tok[:, 1:] >= 0).all() and (tok[:, 1:] < 17).all()
+    assert len(np.unique(tok[:, 1:])) > 1          # actually sampling
+
+
 def test_lane_tiled_kernel_matches_untiled():
     """lane_tiles=2 splits the attention lane axis into two tiles (bounded
     VMEM scratch for big batches); all lane math is elementwise across lanes,

@@ -21,14 +21,25 @@ current offset), so the cache write DMA can overlap compute.  Folded weights
 — see sample/decode.py) stay VMEM-resident; attention math runs lane-parallel
 over N*H with sublane reductions over keys.
 
+The history reads are DOUBLE-BUFFERED ACROSS LAYERS: each row/prev_row
+(layer, tile) job's cache slice depends only on (b, i), so its DMA is issued
+while earlier layers compute, hiding HBM latency (measured on v5e at the
+flagship batch-256 geometry: 78.8 -> 70.9 us/step for the kernel alone).
+With ``fused_decode_step_sample`` the kernel additionally runs the logits
+head, Gumbel-max/greedy sampling (hardware PRNG) and the next token's
+input embedding, shrinking the scan body to one kernel + scalar bookkeeping
+(70.9 -> 58.1 us/step; chain throughput 25.2k -> 38.4k clips/s with bf16
+serving stacks).
+
 Constraints: N*heads must be a multiple of 128 on real TPUs (use the XLA path
 otherwise); interpret mode (CPU tests) has no alignment constraint.
 Attention lanes are processed in tiles (``lane_tiles``, auto-sized) so the
-VMEM scratch stays bounded at any batch: batch 512 bf16 compiles and runs
-(21.9k clips/s) where the untiled kernel exceeded scoped VMEM — though
-batch 256 / one tile remains the throughput sweet spot (25.8k clips/s).
+VMEM scratch stays bounded at any batch; the prefetch pipeline makes the
+per-tile DMAs effectively free, and batch 256 remains the throughput sweet
+spot (512 -> 29.8k clips/s).
 Numerics match the XLA path (f32 softmax, -1e9 masking); equality is enforced
-by tests/test_decode_pallas.py and the decode==full-forward invariant.
+by tests/test_decode_pallas.py (token-exact under greedy) and the
+decode==full-forward invariant.
 """
 
 from __future__ import annotations
@@ -58,25 +69,65 @@ def decode_pallas_available(n_samples: int = LANE, heads: int = 1) -> bool:
 
 
 def _make_kernel(depth, n, heads, hd, width, blocks, block_len, patterns,
-                 cache_dtype=jnp.float32, lane_tiles=1):
+                 cache_dtype=jnp.float32, lane_tiles=1, sample=None):
+    """Build the decode-step kernel.
+
+    With ``sample`` (a dict: mode 'gumbel'|'greedy', bins_p, n_stream), the
+    kernel additionally runs the WHOLE rest of the autoregressive step that
+    the XLA scan body would otherwise issue as ~10 separate HLOs: the logits
+    head, Gumbel-max/greedy token sampling (TPU hardware PRNG seeded with
+    (seed0, seed1, t) — same Gumbel-max distribution as the reference's
+    RelaxedOneHotCategorical+argmax, different random stream than threefry),
+    and the next position's input embedding (exact one-hot gather on the MXU
+    at HIGHEST precision, plus the precomputed pos+x_cond stream slice whose
+    HBM DMA overlaps the transformer layers).
+    """
     nh = n * heads
     nh_t = nh // lane_tiles   # lanes per attention tile (VMEM working set)
     hh = heads * hd
     inv_sqrt_hd = 1.0 / math.sqrt(hd)
 
-    def kernel(scalar_ref,                                  # SMEM (1, 4): t, b, i
-               x_ref, uc_ref,                               # VMEM
-               kc_ref, vc_ref,                              # ANY (HBM)
-               qkv_k_ref, qkv_b_ref, out_k_ref, out_b_ref,
-               ln1s_ref, ln1b_ref, ln2s_ref, ln2b_ref,
-               mlp_k_ref, mlp_b_ref,
-               x_out_ref, uc_out_ref, kc_out_ref, vc_out_ref,
-               khist_ref, vhist_ref, kcol_ref, vcol_ref,    # VMEM scratch
-               kt_ref, vt_ref,                              # VMEM staging
-               read_sems, write_sems):
+    def kernel(*refs):
+        if sample is None:
+            (scalar_ref,                                    # SMEM (1, 4): t, b, i
+             x_ref, uc_ref,                                 # VMEM
+             kc_ref, vc_ref,                                # ANY (HBM)
+             qkv_k_ref, qkv_b_ref, out_k_ref, out_b_ref,
+             ln1s_ref, ln1b_ref, ln2s_ref, ln2b_ref,
+             mlp_k_ref, mlp_b_ref,
+             x_out_ref, uc_out_ref, kc_out_ref, vc_out_ref,
+             khist_ref, vhist_ref, kcol_ref, vcol_ref,      # VMEM scratch
+             kt_ref, vt_ref,                                # VMEM staging
+             read_sems, write_sems) = refs
+        else:
+            (scalar_ref,                                    # SMEM (1, 6): t, b, i, 0, s0, s1
+             x_ref, uc_ref, kc_ref, vc_ref,
+             qkv_k_ref, qkv_b_ref, out_k_ref, out_b_ref,
+             ln1s_ref, ln1b_ref, ln2s_ref, ln2b_ref,
+             mlp_k_ref, mlp_b_ref,
+             head_k_ref, head_b_ref, emb_ref,               # VMEM
+             stream_ref,                                    # ANY (HBM)
+             x_out_ref, tok_ref, uc_out_ref, kc_out_ref, vc_out_ref,
+             khist_ref, vhist_ref, kcol_ref, vcol_ref,
+             kt_ref, vt_ref, stream_scratch,
+             read_sems, write_sems) = refs
+        t = scalar_ref[0, 0]
         b = scalar_ref[0, 1]
         i = scalar_ref[0, 2]
         b_prev = jnp.maximum(b - 1, 0)
+
+        if sample is not None:
+            # Next position's pos(+x_cond) slice: in flight during the layers.
+            stream_dma = pltpu.make_async_copy(
+                stream_ref.at[pl.ds(t + 1, 1)], stream_scratch,
+                read_sems.at[6])
+            stream_dma.start()
+            if sample["mode"] == "gumbel":
+                # Per-step stream: Mosaic takes at most two seed words, so
+                # fold t in via golden-ratio mixing (int32 wraparound is fine).
+                pltpu.prng_seed(
+                    scalar_ref[0, 4] + t * jnp.int32(-1640531527),
+                    scalar_ref[0, 5] ^ (t * jnp.int32(40503) + jnp.int32(1)))
 
         def ln(x, scale, bias):
             mu = jnp.mean(x, axis=-1, keepdims=True)
@@ -101,6 +152,33 @@ def _make_kernel(depth, n, heads, hd, width, blocks, block_len, patterns,
         neg = jnp.float32(-1e9)
         row_ids = jax.lax.broadcasted_iota(jnp.int32, (block_len, nh_t), 0)
         blk_ids = jax.lax.broadcasted_iota(jnp.int32, (blocks, nh_t), 0)
+
+        # Cross-layer double-buffered prefetch of the big history reads.  A
+        # row/prev_row (layer, tile) job's source slice depends only on
+        # (b, i) — known at kernel entry, NOT on the layer's activations — so
+        # job j+2's DMA is issued the moment job j's slot is consumed, hiding
+        # HBM latency behind the transformer compute.  The current position
+        # (b, i) inside a prefetched row slice may race this step's cache
+        # write, but that entry is strictly masked (offsets < i) so either
+        # value is correct; prev_row reads block b-1, disjoint from the
+        # write (and the b == 0 self-overlap case multiplies the output by 0).
+        hist_jobs = [(li, ti) for li in range(depth)
+                     if patterns[li] in (0, 2) for ti in range(lane_tiles)]
+
+        def hist_dma(j, part):
+            li_j, ti_j = hist_jobs[j]
+            slot = j % 2
+            blk = b if patterns[li_j] == 0 else b_prev
+            src = (kc_ref if part == 0 else vc_ref).at[
+                li_j, pl.ds(blk, 1), :, :, pl.ds(ti_j * nh_t, nh_t)]
+            dst = (khist_ref if part == 0 else vhist_ref).at[pl.ds(slot, 1)]
+            return pltpu.make_async_copy(src, dst,
+                                         read_sems.at[2 * slot + part])
+
+        for j in range(min(2, len(hist_jobs))):
+            hist_dma(j, 0).start()
+            hist_dma(j, 1).start()
+        jidx = 0
 
         for li in range(depth):
             pattern = patterns[li]
@@ -130,11 +208,6 @@ def _make_kernel(depth, n, heads, hd, width, blocks, block_len, patterns,
                 write_sems.at[li, 1])
             wk.start()
             wv.start()
-            if pattern in (0, 1):
-                # row/col history slices overlap the position being written
-                # (those lanes are masked out, but keep the DMAs ordered).
-                wk.wait()
-                wv.wait()
 
             # Attention runs per lane tile: the history scratch and its big
             # elementwise intermediates are sized (l, hd, nh_t), so the VMEM
@@ -150,19 +223,11 @@ def _make_kernel(depth, n, heads, hd, width, blocks, block_len, patterns,
                 logit_cur = jnp.sum(k_s * q_s, axis=0, keepdims=True) * inv_sqrt_hd
 
                 if pattern in (0, 2):  # row / prev_row: one block of history
-                    blk = b if pattern == 0 else b_prev
-                    rk = pltpu.make_async_copy(
-                        kc_ref.at[li, pl.ds(blk, 1), :, :, pl.ds(ts, nh_t)],
-                        khist_ref, read_sems.at[0])
-                    rv = pltpu.make_async_copy(
-                        vc_ref.at[li, pl.ds(blk, 1), :, :, pl.ds(ts, nh_t)],
-                        vhist_ref, read_sems.at[1])
-                    rk.start()
-                    rv.start()
-                    rk.wait()
-                    rv.wait()
-                    k_hist = khist_ref[0]                   # (l, hd, nh_t)
-                    v_hist = vhist_ref[0]
+                    slot = jidx % 2
+                    hist_dma(jidx, 0).wait()
+                    hist_dma(jidx, 1).wait()
+                    k_hist = khist_ref[slot]                # (l, hd, nh_t)
+                    v_hist = vhist_ref[slot]
                     # logits over keys: (l, nh_t), lane-parallel
                     logits = jnp.sum(k_hist * jnp.expand_dims(q_s, 0), axis=1) * inv_sqrt_hd
                     if pattern == 0:
@@ -180,13 +245,18 @@ def _make_kernel(depth, n, heads, hd, width, blocks, block_len, patterns,
                         w = jax.nn.softmax(logits, axis=0)
                         attn_t = jnp.sum(jnp.expand_dims(w, 1) * v_hist, axis=0)
                         attn_t = attn_t * (b > 0).astype(attn_t.dtype)
+                    # This job's slot is consumed — refill it for job j+2.
+                    if jidx + 2 < len(hist_jobs):
+                        hist_dma(jidx + 2, 0).start()
+                        hist_dma(jidx + 2, 1).start()
+                    jidx += 1
                 else:  # col: column i across all blocks
                     rk = pltpu.make_async_copy(
                         kc_ref.at[li, :, pl.ds(i, 1), :, pl.ds(ts, nh_t)],
-                        kcol_ref, read_sems.at[0])
+                        kcol_ref, read_sems.at[4])
                     rv = pltpu.make_async_copy(
                         vc_ref.at[li, :, pl.ds(i, 1), :, pl.ds(ts, nh_t)],
-                        vcol_ref, read_sems.at[1])
+                        vcol_ref, read_sems.at[5])
                     rk.start()
                     rv.start()
                     rk.wait()
@@ -214,11 +284,42 @@ def _make_kernel(depth, n, heads, hd, width, blocks, block_len, patterns,
                            preferred_element_type=jnp.float32) + mlp_b_ref[li]
             x = res2 + res1 + x
 
-            if pattern == 2:  # prev_row overlapped its write with compute
-                wk.wait()
-                wv.wait()
+            # The current-token cache write overlapped the whole layer; any
+            # race with a prefetched history read touches only masked entries.
+            wk.wait()
+            wv.wait()
 
-        x_out_ref[:] = x
+        if sample is None:
+            x_out_ref[:] = x
+            return
+
+        # ---- fused sampling tail (head + sample + next-token embed) -------
+        bins_p = sample["bins_p"]
+        # head_k is pre-scaled by 1/temperature, head_b's padding is -1e9, so
+        # argmax can never select a padded bin.
+        scores = (jnp.dot(x, head_k_ref[:], preferred_element_type=jnp.float32)
+                  + head_b_ref[0])
+        if sample["mode"] == "gumbel":
+            bits = pltpu.bitcast(pltpu.prng_random_bits(scores.shape),
+                                 jnp.uint32)
+            # top 24 bits -> u in (0, 1); Mosaic lacks uint32->f32, but after
+            # the shift the value fits int32 exactly.
+            u = (pltpu.bitcast(bits >> 8, jnp.int32).astype(jnp.float32)
+                 * (1.0 / (1 << 24)) + 1e-12)
+            scores = scores - jnp.log(-jnp.log(u))
+        tok = jnp.argmax(scores, axis=-1).astype(jnp.int32)      # (N,)
+        tok_ref[0, :] = tok
+        onehot = (jax.lax.broadcasted_iota(jnp.int32, (n, bins_p), 1)
+                  == tok[:, None]).astype(jnp.float32)
+        # Exact embedding gather as a one-hot matmul (emb pre-scaled by
+        # sqrt(d)); HIGHEST precision makes it bit-exact vs jnp.take.
+        x_emb = jax.lax.dot_general(
+            onehot, emb_ref[:], (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)
+        stream_dma.wait()
+        # (n_stream, width) with n_stream in {1, n}: broadcasting covers both.
+        x_out_ref[:] = x_emb + stream_scratch[0]
 
     return kernel
 
@@ -226,13 +327,14 @@ def _make_kernel(depth, n, heads, hd, width, blocks, block_len, patterns,
 def _auto_lane_tiles(nh: int, block_len: int, hd: int, cache_bytes: int,
                      blocks: int) -> int:
     """Smallest power-of-2 tiling keeping the lane-tiled scratch buffers
-    (khist/vhist of (block_len, hd, nh_t) plus kcol/vcol of (blocks, hd,
-    nh_t)) within ~8MB of the 16MB scoped-VMEM budget (nh_t=512 f32 at the
-    flagship geometry is the measured sweet spot).  The (1, 1, hd, nh)
-    staging buffers are NOT tiled but are block_len-fold smaller."""
+    (double-buffered khist/vhist of (2, block_len, hd, nh_t) plus kcol/vcol
+    of (blocks, hd, nh_t)) within ~8MB of the 16MB scoped-VMEM budget.  The
+    (1, 1, hd, nh) staging buffers are NOT tiled but are block_len-fold
+    smaller."""
     budget = 8 * 1024 * 1024
     tiles = 1
-    while (2 * (block_len + blocks) * hd * (nh // tiles) * cache_bytes > budget
+    while ((4 * block_len + 2 * blocks) * hd * (nh // tiles) * cache_bytes
+           > budget
            and nh % (tiles * 2) == 0
            and (nh // (tiles * 2)) % LANE == 0):
         tiles *= 2
@@ -253,7 +355,7 @@ def fused_decode_step(
     *,
     depth: int, n: int, heads: int, hd: int, width: int,
     blocks: int, block_len: int, patterns: Tuple[int, ...],
-    interpret: bool = False,
+    interpret=False,        # False | True | "tpu" (see _interp)
     lane_tiles: int = 0,    # 0 = auto (bound VMEM scratch regardless of batch)
 ):
     """Runs one full decode step. Returns (x_out, uc, kc, vc) with caches
@@ -288,17 +390,110 @@ def fused_decode_step(
         # uc/kc/vc are updated in place: inputs 2,3,4 -> outputs 1,2,3.
         input_output_aliases={2: 1, 3: 2, 4: 3},
         scratch_shapes=[
-            pltpu.VMEM((1, block_len, hd, nh_t), cache_dtype),  # khist
-            pltpu.VMEM((1, block_len, hd, nh_t), cache_dtype),  # vhist
+            pltpu.VMEM((2, block_len, hd, nh_t), cache_dtype),  # khist (2 slots)
+            pltpu.VMEM((2, block_len, hd, nh_t), cache_dtype),  # vhist (2 slots)
             pltpu.VMEM((blocks, 1, hd, nh_t), cache_dtype),     # kcol
             pltpu.VMEM((blocks, 1, hd, nh_t), cache_dtype),     # vcol
             pltpu.VMEM((1, 1, hd, nh), cache_dtype),           # kt staging
             pltpu.VMEM((1, 1, hd, nh), cache_dtype),           # vt staging
-            pltpu.SemaphoreType.DMA((2,)),                     # read sems
+            pltpu.SemaphoreType.DMA((7,)),                     # read sems
             pltpu.SemaphoreType.DMA((depth, 2)),               # write sems
         ],
-        interpret=interpret,
+        interpret=_interp(interpret),
         compiler_params=(pltpu.CompilerParams(has_side_effects=True)
                          if _HAS_PLTPU and not interpret else None),
     )(scalars, x, uc, kc, vc, *weights)
+    return out
+
+
+def _interp(interpret):
+    """False / True (generic interpreter) / "tpu" (TPU interpreter — needed
+    when interpreting kernels that use the hardware PRNG)."""
+    if interpret == "tpu":
+        return pltpu.InterpretParams()
+    return bool(interpret)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("depth", "n", "heads", "hd", "width", "blocks",
+                     "block_len", "patterns", "mode", "interpret",
+                     "lane_tiles"))
+def fused_decode_step_sample(
+    scalars: jnp.ndarray,   # (1, 6) int32: [t, b, i, 0, seed0, seed1]
+    x: jnp.ndarray,         # (N, width) f32 — position t's input embedding
+    uc: jnp.ndarray,        # (depth, N, 2, width) f32
+    kc: jnp.ndarray,        # (depth, blocks, block_len, hd, N*H), f32 or bf16
+    vc: jnp.ndarray,
+    weights: Tuple[jnp.ndarray, ...],
+    head_k: jnp.ndarray,    # (width, bins_p) f32, pre-scaled by 1/temperature
+    head_b: jnp.ndarray,    # (1, bins_p) f32, padding bins at -1e9
+    emb: jnp.ndarray,       # (bins_p, width) f32, pre-scaled by sqrt(width)
+    stream: jnp.ndarray,    # (ctx+1, n_stream, width) f32: pos (+ x_cond)
+    *,
+    depth: int, n: int, heads: int, hd: int, width: int,
+    blocks: int, block_len: int, patterns: Tuple[int, ...],
+    mode: str = "gumbel",   # 'gumbel' | 'greedy'
+    interpret=False,        # False | True | "tpu" (see _interp)
+    lane_tiles: int = 0,
+):
+    """One COMPLETE autoregressive step: transformer layers + logits head +
+    token sampling + next-position input embedding, in a single kernel.
+
+    Returns (x_next, tok (1, N) int32, uc, kc, vc); caches aliased in place.
+    The lax.scan body around this is just integer bookkeeping — the XLA path
+    issues the head matmul, threefry sampling, and embedding gather as
+    separate per-step HLOs whose dispatch dominates small-model decode.
+    """
+    nh = n * heads
+    cache_dtype = kc.dtype
+    bins_p = head_k.shape[1]
+    assert bins_p % LANE == 0 and emb.shape == (bins_p, width)
+    if not interpret:
+        assert nh % LANE == 0, (
+            f"fused decode needs batch*heads % {LANE} == 0, got {nh}")
+    if lane_tiles == 0:
+        lane_tiles = _auto_lane_tiles(nh, block_len, hd,
+                                      jnp.dtype(cache_dtype).itemsize, blocks)
+    assert nh % lane_tiles == 0
+    nh_t = nh // lane_tiles
+    n_stream = stream.shape[1]
+    kernel = _make_kernel(depth, n, heads, hd, width, blocks, block_len,
+                          patterns, cache_dtype=cache_dtype,
+                          lane_tiles=lane_tiles,
+                          sample={"mode": mode, "bins_p": bins_p,
+                                  "n_stream": n_stream})
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+
+    out = pl.pallas_call(
+        kernel,
+        in_specs=([smem, vmem, vmem, any_spec, any_spec] + [vmem] * 10
+                  + [vmem, vmem, vmem, any_spec]),
+        out_specs=[vmem, vmem, vmem, any_spec, any_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, width), jnp.float32),   # x_next
+            jax.ShapeDtypeStruct((1, n), jnp.int32),         # sampled tokens
+            jax.ShapeDtypeStruct(uc.shape, jnp.float32),
+            jax.ShapeDtypeStruct(kc.shape, cache_dtype),
+            jax.ShapeDtypeStruct(vc.shape, cache_dtype),
+        ],
+        # uc/kc/vc are updated in place: inputs 2,3,4 -> outputs 2,3,4.
+        input_output_aliases={2: 2, 3: 3, 4: 4},
+        scratch_shapes=[
+            pltpu.VMEM((2, block_len, hd, nh_t), cache_dtype),  # khist (2 slots)
+            pltpu.VMEM((2, block_len, hd, nh_t), cache_dtype),  # vhist (2 slots)
+            pltpu.VMEM((blocks, 1, hd, nh_t), cache_dtype),     # kcol
+            pltpu.VMEM((blocks, 1, hd, nh_t), cache_dtype),     # vcol
+            pltpu.VMEM((1, 1, hd, nh), cache_dtype),           # kt staging
+            pltpu.VMEM((1, 1, hd, nh), cache_dtype),           # vt staging
+            pltpu.VMEM((1, n_stream, width), jnp.float32),     # stream slice
+            pltpu.SemaphoreType.DMA((7,)),                     # read sems
+            pltpu.SemaphoreType.DMA((depth, 2)),               # write sems
+        ],
+        interpret=_interp(interpret),
+        compiler_params=(pltpu.CompilerParams(has_side_effects=True)
+                         if _HAS_PLTPU and not interpret else None),
+    )(scalars, x, uc, kc, vc, *weights, head_k, head_b, emb, stream)
     return out

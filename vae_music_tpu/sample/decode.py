@@ -88,9 +88,10 @@ def make_decode_fn(
     return_logits: bool = False,
     unroll: int = 1,
     fused: Optional[bool] = None,
-    fused_interpret: bool = False,
+    fused_interpret=False,      # False | True | "tpu" (TPU interpreter)
     prime_len: int = 0,
     cache_dtype: str = "float32",
+    sample_in_kernel: Optional[bool] = None,
 ):
     """Build a jitted sampler for one prior level.
 
@@ -122,6 +123,18 @@ def make_decode_fn(
 
         fused = decode_pallas_available(n_samples, heads)
     patterns = tuple(cfg.attn_pattern(li) for li in range(depth))
+    if sample_in_kernel is None:
+        # Auto: the fully-fused step (head + sampling + next-embed inside the
+        # kernel) covers the serving fast path; priming, logits capture, and
+        # top-k fall back to per-step XLA sampling.
+        sample_in_kernel = (fused and prime_len == 0 and not return_logits
+                            and top_k == 0
+                            and mode in (SampleMode.GUMBEL, SampleMode.GREEDY))
+    assert not (sample_in_kernel and not fused)
+    assert not (sample_in_kernel
+                and (prime_len > 0 or return_logits or top_k > 0)), (
+        "sample_in_kernel supports the unprimed gumbel/greedy fast path only")
+    bins_p = -(-cfg.bins // 128) * 128  # head/emb padded to the lane size
 
     def decode(params, rng, x_cond_stream=None, y_cond=None, prime=None):
         assert (prime is not None) == (prime_len > 0)
@@ -279,6 +292,77 @@ def make_decode_fn(
             return (next_token, uc, kc, vc, step_rng), out
 
         token0 = jnp.full((n_samples,), start_token, jnp.int32)
+        if fused and sample_in_kernel:
+            from vae_music_tpu.ops.decode_pallas import fused_decode_step_sample
+
+            nh = n_samples * heads
+            fused_weights = (
+                jnp.stack([lp["qkv_kernel"] for lp in layers]),
+                jnp.stack([lp["qkv_bias"] for lp in layers]),
+                jnp.stack([lp["out_kernel"] for lp in layers]),
+                jnp.stack([lp["out_bias"] for lp in layers]),
+                jnp.stack([lp["ln1"]["scale"] for lp in layers]),
+                jnp.stack([lp["ln1"]["bias"] for lp in layers]),
+                jnp.stack([lp["ln2"]["scale"] for lp in layers]),
+                jnp.stack([lp["ln2"]["bias"] for lp in layers]),
+                jnp.stack([lp["mlp"]["kernel"] for lp in layers]),
+                jnp.stack([lp["mlp"]["bias"] for lp in layers]),
+            )
+            inv_temp = jnp.float32(1.0 / max(temperature, 1e-6))
+            head_k = (out_k * inv_temp).astype(jnp.float32)      # (width, bins)
+            head_k = jnp.pad(head_k, ((0, 0), (0, bins_p - cfg.bins)))
+            head_b = jnp.pad((out_b * inv_temp).astype(jnp.float32)[None],
+                             ((0, 0), (0, bins_p - cfg.bins)),
+                             constant_values=-1e9)               # (1, bins_p)
+            emb_p = jnp.pad((emb * sqrt_d).astype(jnp.float32),
+                            ((0, bins_p - cfg.bins), (0, 0)))    # (bins_p, width)
+            # pos (+ per-sample x_cond) for positions 1..ctx-1, padded one row
+            # so the kernel's t+1 read stays in range at the last step.
+            pos_rows = jnp.concatenate(
+                [pos[:ctx_len].astype(jnp.float32),
+                 jnp.zeros((1, width), jnp.float32)], axis=0)    # (ctx+1, w)
+            if x_cond_stream is not None:
+                xc = jnp.transpose(x_cond_stream, (1, 0, 2)).astype(jnp.float32)
+                xc = jnp.concatenate(
+                    [xc, jnp.zeros((1, n_samples, width), jnp.float32)], axis=0)
+                stream = pos_rows[:, None, :] + xc               # (ctx+1, N, w)
+            else:
+                stream = pos_rows[:, None, :]                    # (ctx+1, 1, w)
+
+            # Position 0's input, exactly as the reference seeds it: start
+            # token embedding (or y_cond), *sqrt(d), + pos[0] (+ x_cond[0]).
+            x0 = emb[start_token][None] * sqrt_d
+            if y_cond is not None:
+                x0 = y_cond[:, 0].astype(jnp.float32) * sqrt_d
+            x0 = jnp.broadcast_to(x0, (n_samples, width)) + pos[0]
+            if x_cond_stream is not None:
+                x0 = x0 + x_cond_stream[:, 0]
+            # Two int32 seeds for the kernel's hardware PRNG (works for both
+            # typed and raw uint32 PRNG keys).
+            seeds = jax.lax.bitcast_convert_type(
+                jax.random.bits(rng, (2,), jnp.uint32), jnp.int32)
+
+            uc0 = jnp.zeros((depth, n_samples, 2, width), jnp.float32)
+            kc0 = jnp.zeros((depth, blocks, block_len, hd, nh),
+                            jnp.dtype(cache_dtype))
+            vc0 = jnp.zeros_like(kc0)
+
+            def sample_scan_step(carry, t):
+                x, uc, kc, vc = carry
+                scalars = jnp.stack(
+                    [t, t // block_len, t % block_len, jnp.int32(0),
+                     seeds[0], seeds[1]]).astype(jnp.int32)[None]
+                x, tok, uc, kc, vc = fused_decode_step_sample(
+                    scalars, x, uc, kc, vc, fused_weights,
+                    head_k, head_b, emb_p, stream,
+                    depth=depth, n=n_samples, heads=heads, hd=hd, width=width,
+                    blocks=blocks, block_len=block_len, patterns=patterns,
+                    mode=mode.value, interpret=fused_interpret)
+                return (x, uc, kc, vc), tok[0]
+
+            _, sampled = jax.lax.scan(sample_scan_step, (x0, uc0, kc0, vc0),
+                                      jnp.arange(ctx_len))       # (ctx, N)
+            return jnp.concatenate([token0[:, None], sampled.T], axis=1)
         if fused:
             nh = n_samples * heads
             fused_weights = (

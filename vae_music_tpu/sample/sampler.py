@@ -42,6 +42,7 @@ class AncestralSampler:
         top_k: int = 0,
         serve_dtype: Optional[str] = None,   # e.g. 'bfloat16' for the conv stacks
         cache_dtype: str = "float32",        # 'bfloat16' halves decode DMA (serving)
+        sample_in_kernel: Optional[bool] = None,  # None = auto (fused fast path)
     ):
         assert len(prior_cfgs) == vqvae_cfg.levels
         self.vqvae_cfg = vqvae_cfg
@@ -57,6 +58,7 @@ class AncestralSampler:
         self.top_k = top_k
         self.serve_dtype = serve_dtype
         self.cache_dtype = cache_dtype
+        self.sample_in_kernel = sample_in_kernel
         self._decode_fns: Dict = {}
         self._cond_fns: Dict = {}
         self._label_fns: Dict = {}
@@ -171,7 +173,9 @@ class AncestralSampler:
                 self.prior_cfgs[level], self.specs[level].ctx_len, n_samples,
                 mode=self.mode, temperature=self.temperature,
                 top_k=self.top_k, cache_dtype=self.cache_dtype,
-                prime_len=prime_len)
+                prime_len=prime_len,
+                sample_in_kernel=(self.sample_in_kernel if prime_len == 0
+                                  else None))
         return self._decode_fns[key]
 
     def sample_codes_long(
@@ -272,7 +276,8 @@ class AncestralSampler:
             make_decode_fn(self.prior_cfgs[l], self.specs[l].ctx_len,
                            n_samples, mode=self.mode,
                            temperature=self.temperature, top_k=self.top_k,
-                           cache_dtype=self.cache_dtype)
+                           cache_dtype=self.cache_dtype,
+                           sample_in_kernel=self.sample_in_kernel)
             for l in range(self.levels)
         ]
         prior_params = self.prior_params
