@@ -98,7 +98,7 @@ def _make_kernel(depth, n, heads, hd, width, blocks, block_len, patterns,
              x_out_ref, uc_out_ref, kc_out_ref, vc_out_ref,
              khist_ref, vhist_ref, kcol_ref, vcol_ref,      # VMEM scratch
              kt_ref, vt_ref,                                # VMEM staging
-             read_sems, write_sems) = refs
+             read_sems, aux_sems, write_sems) = refs
         else:
             (scalar_ref,                                    # SMEM (1, 6): t, b, i, 0, s0, s1
              x_ref, uc_ref, kc_ref, vc_ref,
@@ -110,7 +110,7 @@ def _make_kernel(depth, n, heads, hd, width, blocks, block_len, patterns,
              x_out_ref, tok_ref, uc_out_ref, kc_out_ref, vc_out_ref,
              khist_ref, vhist_ref, kcol_ref, vcol_ref,
              kt_ref, vt_ref, stream_scratch,
-             read_sems, write_sems) = refs
+             read_sems, aux_sems, write_sems) = refs
         t = scalar_ref[0, 0]
         b = scalar_ref[0, 1]
         i = scalar_ref[0, 2]
@@ -120,7 +120,7 @@ def _make_kernel(depth, n, heads, hd, width, blocks, block_len, patterns,
             # Next position's pos(+x_cond) slice: in flight during the layers.
             stream_dma = pltpu.make_async_copy(
                 stream_ref.at[pl.ds(t + 1, 1)], stream_scratch,
-                read_sems.at[6])
+                aux_sems.at[2])
             stream_dma.start()
             if sample["mode"] == "gumbel":
                 # Per-step stream: Mosaic takes at most two seed words, so
@@ -164,20 +164,63 @@ def _make_kernel(depth, n, heads, hd, width, blocks, block_len, patterns,
         # write (and the b == 0 self-overlap case multiplies the output by 0).
         hist_jobs = [(li, ti) for li in range(depth)
                      if patterns[li] in (0, 2) for ti in range(lane_tiles)]
+        # Row history beyond offset i is still unwritten this pass (positions
+        # fill monotonically within a block), so its chunks need no DMA at
+        # all — on average that halves the row-pattern reads.  Skipped
+        # chunks' V scratch is zero-filled (cheap VPU store) so the masked
+        # softmax's exact-zero weights multiply zeros, never stale VMEM.
+        # K needs no fill: masked logits are replaced by -1e9 regardless.
+        n_chunks = 4 if block_len % 4 == 0 else 1
+        chunk = block_len // n_chunks
 
-        def hist_dma(j, part):
+        def hist_chunk_dma(j, part, c):
             li_j, ti_j = hist_jobs[j]
             slot = j % 2
+            chunked = patterns[li_j] == 0 and n_chunks > 1
             blk = b if patterns[li_j] == 0 else b_prev
+            rows = (pl.ds(c * chunk, chunk) if chunked
+                    else slice(None))
             src = (kc_ref if part == 0 else vc_ref).at[
-                li_j, pl.ds(blk, 1), :, :, pl.ds(ti_j * nh_t, nh_t)]
-            dst = (khist_ref if part == 0 else vhist_ref).at[pl.ds(slot, 1)]
+                li_j, pl.ds(blk, 1), rows, :, pl.ds(ti_j * nh_t, nh_t)]
+            dst = (khist_ref if part == 0 else vhist_ref).at[
+                pl.ds(slot, 1), rows]
             return pltpu.make_async_copy(src, dst,
-                                         read_sems.at[2 * slot + part])
+                                         read_sems.at[slot, part, c])
+
+        def hist_start(j):
+            li_j, _ = hist_jobs[j]
+            slot = j % 2
+            if patterns[li_j] == 0 and n_chunks > 1:
+                for c in range(n_chunks):
+                    needed = c * chunk < i
+
+                    @pl.when(needed)
+                    def _(j=j, c=c):
+                        hist_chunk_dma(j, 0, c).start()
+                        hist_chunk_dma(j, 1, c).start()
+
+                    @pl.when(jnp.logical_not(needed))
+                    def _(slot=slot, c=c):
+                        vhist_ref[slot, c * chunk:(c + 1) * chunk] = (
+                            jnp.zeros((chunk, hd, nh_t), cache_dtype))
+            else:
+                hist_chunk_dma(j, 0, 0).start()
+                hist_chunk_dma(j, 1, 0).start()
+
+        def hist_wait(j):
+            li_j, _ = hist_jobs[j]
+            if patterns[li_j] == 0 and n_chunks > 1:
+                for c in range(n_chunks):
+                    @pl.when(c * chunk < i)
+                    def _(j=j, c=c):
+                        hist_chunk_dma(j, 0, c).wait()
+                        hist_chunk_dma(j, 1, c).wait()
+            else:
+                hist_chunk_dma(j, 0, 0).wait()
+                hist_chunk_dma(j, 1, 0).wait()
 
         for j in range(min(2, len(hist_jobs))):
-            hist_dma(j, 0).start()
-            hist_dma(j, 1).start()
+            hist_start(j)
         jidx = 0
 
         for li in range(depth):
@@ -224,8 +267,7 @@ def _make_kernel(depth, n, heads, hd, width, blocks, block_len, patterns,
 
                 if pattern in (0, 2):  # row / prev_row: one block of history
                     slot = jidx % 2
-                    hist_dma(jidx, 0).wait()
-                    hist_dma(jidx, 1).wait()
+                    hist_wait(jidx)
                     k_hist = khist_ref[slot]                # (l, hd, nh_t)
                     v_hist = vhist_ref[slot]
                     # logits over keys: (l, nh_t), lane-parallel
@@ -247,16 +289,15 @@ def _make_kernel(depth, n, heads, hd, width, blocks, block_len, patterns,
                         attn_t = attn_t * (b > 0).astype(attn_t.dtype)
                     # This job's slot is consumed — refill it for job j+2.
                     if jidx + 2 < len(hist_jobs):
-                        hist_dma(jidx + 2, 0).start()
-                        hist_dma(jidx + 2, 1).start()
+                        hist_start(jidx + 2)
                     jidx += 1
                 else:  # col: column i across all blocks
                     rk = pltpu.make_async_copy(
                         kc_ref.at[li, :, pl.ds(i, 1), :, pl.ds(ts, nh_t)],
-                        kcol_ref, read_sems.at[4])
+                        kcol_ref, aux_sems.at[0])
                     rv = pltpu.make_async_copy(
                         vc_ref.at[li, :, pl.ds(i, 1), :, pl.ds(ts, nh_t)],
-                        vcol_ref, read_sems.at[5])
+                        vcol_ref, aux_sems.at[1])
                     rk.start()
                     rv.start()
                     rk.wait()
@@ -396,7 +437,8 @@ def fused_decode_step(
             pltpu.VMEM((blocks, 1, hd, nh_t), cache_dtype),     # vcol
             pltpu.VMEM((1, 1, hd, nh), cache_dtype),           # kt staging
             pltpu.VMEM((1, 1, hd, nh), cache_dtype),           # vt staging
-            pltpu.SemaphoreType.DMA((7,)),                     # read sems
+            pltpu.SemaphoreType.DMA((2, 2, 4)),                # hist chunk sems
+            pltpu.SemaphoreType.DMA((3,)),                     # col k/v + stream
             pltpu.SemaphoreType.DMA((depth, 2)),               # write sems
         ],
         interpret=_interp(interpret),
@@ -489,7 +531,8 @@ def fused_decode_step_sample(
             pltpu.VMEM((1, 1, hd, nh), cache_dtype),           # kt staging
             pltpu.VMEM((1, 1, hd, nh), cache_dtype),           # vt staging
             pltpu.VMEM((1, n_stream, width), jnp.float32),     # stream slice
-            pltpu.SemaphoreType.DMA((7,)),                     # read sems
+            pltpu.SemaphoreType.DMA((2, 2, 4)),                # hist chunk sems
+            pltpu.SemaphoreType.DMA((3,)),                     # col k/v + stream
             pltpu.SemaphoreType.DMA((depth, 2)),               # write sems
         ],
         interpret=_interp(interpret),
