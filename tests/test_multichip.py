@@ -97,3 +97,41 @@ def test_put_global_batch_process_local_path():
     # a jitted global-batch reduction consumes the assembled array
     out = jax.jit(lambda v: v.sum())(b)
     np.testing.assert_allclose(float(out), x.sum(), rtol=1e-5)
+
+
+def test_sharded_serving_chain_matches_per_shard():
+    """DP serving (compile_chain_sharded): the batch-sharded ancestral chain
+    must equal running each shard's local chain with that shard's folded RNG
+    — generation is embarrassingly parallel, so sharding may not change a
+    single sample."""
+    from vae_music_tpu.configs import SamplerConfig, VQVAEConfig
+    from vae_music_tpu.sample.sampler import AncestralSampler
+
+    vcfg = VQVAEConfig(
+        sample_length=512, levels=2, latent_dim=8, codebook_size=16,
+        down_depth=(3, 2), strides=(2, 2), residual_width=8, residual_depth=1,
+        dilation_factor=3, use_spectral_loss=False,
+    ).validate()
+    scfg = SamplerConfig(vqvae=vcfg, prior_width=16, prior_depth=2,
+                         prior_heads=2, prior_blocks=4, genre_classes=10)
+    sampler = AncestralSampler.from_config(scfg, jax.random.PRNGKey(0))
+
+    n_dev = 8
+    mesh = Mesh(np.array(jax.devices()[:n_dev]), ("data",))
+    n = 2 * n_dev
+    rng = jax.random.PRNGKey(3)
+    y = jnp.arange(n, dtype=jnp.int32) % 10
+
+    sharded = sampler.compile_chain_sharded(n, mesh)
+    wav = sharded(rng, jax.device_put(y, NamedSharding(mesh, P("data"))))
+    assert wav.shape == (n, vcfg.sample_length, 1)
+    assert wav.sharding.is_equivalent_to(NamedSharding(mesh, P("data")), 3)
+
+    local = sampler.compile_chain(n // n_dev)
+    per_shard = [
+        np.asarray(local(jax.random.fold_in(rng, d),
+                         y[d * 2:(d + 1) * 2]))
+        for d in range(n_dev)
+    ]
+    np.testing.assert_allclose(np.asarray(wav), np.concatenate(per_shard),
+                               rtol=1e-5, atol=1e-6)

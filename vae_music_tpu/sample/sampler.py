@@ -317,3 +317,43 @@ class AncestralSampler:
         if with_labels:
             return jax.jit(chain)
         return jax.jit(lambda rng: chain(rng, None))
+
+    def compile_chain_sharded(self, n_samples: int, mesh, axis: str = "data",
+                              with_labels: bool = True):
+        """Data-parallel serving: ONE jitted program whose generation batch is
+        sharded over ``mesh``'s ``axis``.  Each device runs the full ancestral
+        chain (decode scans + conditioner + VQ decoder) on its batch shard
+        with replicated params — generation has no cross-sample interaction,
+        so serving scales linearly over the mesh with zero collectives.
+
+        The per-shard RNG is ``fold_in(rng, axis_index)`` so shards draw
+        independent streams.  Returns fn(rng[, y_genre]) -> (N, T, C) with
+        the batch dimension sharded over ``axis``.
+        """
+        import numpy as np_
+        from jax.sharding import PartitionSpec as P
+
+        try:  # jax >= 0.7 promotes shard_map out of experimental
+            from jax import shard_map
+        except ImportError:  # pragma: no cover
+            from jax.experimental.shard_map import shard_map
+
+        n_dev = int(np_.prod([mesh.shape[a] for a in (axis,)]))
+        assert n_samples % n_dev == 0, (n_samples, n_dev)
+        local = self.compile_chain(n_samples // n_dev, with_labels=with_labels)
+
+        if with_labels:
+            def body(rng, y):
+                rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
+                return local(rng, y)
+
+            fn = shard_map(body, mesh=mesh, in_specs=(P(), P(axis)),
+                           out_specs=P(axis), check_vma=False)
+        else:
+            def body(rng):
+                rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
+                return local(rng)
+
+            fn = shard_map(body, mesh=mesh, in_specs=(P(),),
+                           out_specs=P(axis), check_vma=False)
+        return jax.jit(fn)
