@@ -24,6 +24,11 @@ def main():
     p.add_argument("--vqvae_ckpt", default=None)
     p.add_argument("--prior_ckpts", nargs="*", default=None,
                    help="one checkpoint dir per level (bottom first)")
+    p.add_argument("--serve_dtype", default=None,
+                   help="e.g. bfloat16: run conditioner/VQ-decoder conv "
+                        "stacks in this dtype (the bench serving config)")
+    p.add_argument("--cache_dtype", default="float32",
+                   help="KV cache dtype; bfloat16 halves decode DMA")
     args = p.parse_args()
 
     import jax
@@ -39,7 +44,8 @@ def main():
     sampler = AncestralSampler.from_config(
         scfg, jax.random.PRNGKey(args.seed),
         mode=SampleMode(args.mode), temperature=args.temperature,
-        top_k=args.top_k)
+        top_k=args.top_k, serve_dtype=args.serve_dtype,
+        cache_dtype=args.cache_dtype)
 
     # Template-free restore: only params/codebooks are read, so checkpoints
     # load regardless of how they were trained (plain Adam, --accum_steps...).
