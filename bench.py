@@ -71,7 +71,7 @@ def main():
     vcfg = scfg.vqvae
     # Generation throughput peaks at batch 256 (measured with the prefetch-
     # pipelined sampling kernel + bf16 serving stacks: 256 -> 38.4k, 512 ->
-    # 29.8k clips/s).  bf16 KV caches halve the per-step DMA; serve_dtype
+    # 32.6k clips/s with chunked row reads).  bf16 KV caches halve the per-step DMA; serve_dtype
     # bf16 runs the conditioner/VQ-decoder conv stacks in bf16 (serving
     # config — loss-parity numbers in PARITY.md are measured in f32);
     # sampling happens inside the fused decode kernel (auto-enabled).

@@ -101,6 +101,10 @@ class PriorConfig:
     warmup_steps: int = 4000              # Noam schedule (multi_head_attention.py:82-101)
     dtype: str = "float32"
     remat: bool = False                   # rematerialize attention blocks (HBM<->FLOPs)
+    flash_attention: bool = False         # fused flash kernel for row/prev_row when
+                                          # nn.attention.flash_ok — measured SLOWER
+                                          # than XLA at the flagship geometry (see
+                                          # flash_ok docstring); opt-in for wider blocks
 
     @property
     def attn_width(self) -> int:

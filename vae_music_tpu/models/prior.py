@@ -58,7 +58,7 @@ class FMHAPrior(nn.Module):
             ctx_len=self.ctx_len, num_heads=c.heads, depth=c.depth,
             d_model=c.width, blocks=c.blocks, attn_stacks=c.attn_stacks,
             m_attn=c.m_attn, m_mlp=c.m_mlp, dropout=c.dropout, dtype=dtype,
-            remat=c.remat, name="transformer")
+            remat=c.remat, use_flash=c.flash_attention, name="transformer")
         self.out = nn.Dense(c.bins, dtype=dtype, name="out")
         self.embed_dropout = nn.Dropout(c.dropout)
         if c.conditioner is not None:

@@ -62,8 +62,10 @@ def flash_ok(lq: int, block_len: int, hd: int) -> bool:
     """
     import jax
 
+    # The kernel is TPU-only; TPU plugin backends report platform names like
+    # 'axon', so exclude the known non-TPU backends rather than matching.
     return (_flash_attention() is not None
-            and jax.default_backend() not in ("cpu",)
+            and jax.default_backend() not in ("cpu", "gpu", "cuda", "rocm")
             and lq % block_len == 0
             and block_len % 128 == 0
             and hd % 128 == 0)

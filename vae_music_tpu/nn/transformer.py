@@ -37,6 +37,7 @@ class ResidualAttnBlock(nn.Module):
     m_mlp: float = 1.0
     dropout: float = 0.1
     dtype: jnp.dtype = jnp.float32
+    use_flash: bool = False  # fused flash kernel when flash_ok (see attention.py)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool = False,
@@ -44,7 +45,8 @@ class ResidualAttnBlock(nn.Module):
         fmha = FactorizedAttention(
             ctx_len=self.ctx_len, num_heads=self.num_heads, d_model=self.d_model,
             blocks=self.blocks, attn_func=self.attn_func, m_attn=self.m_attn,
-            dropout=self.dropout, dtype=self.dtype, name="fmha")
+            dropout=self.dropout, dtype=self.dtype, use_flash=self.use_flash,
+            name="fmha")
         ln1 = nn.LayerNorm(epsilon=1e-6, name="ln1")
         ln2 = nn.LayerNorm(epsilon=1e-6, name="ln2")
         mlp = nn.Dense(int(self.d_model * self.m_mlp), dtype=self.dtype, name="mlp")
@@ -73,6 +75,7 @@ class FactorizedTransformer(nn.Module):
     dropout: float = 0.1
     dtype: jnp.dtype = jnp.float32
     remat: bool = False   # jax.checkpoint each block: trade FLOPs for HBM
+    use_flash: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool = False,
@@ -91,7 +94,7 @@ class FactorizedTransformer(nn.Module):
                 d_model=self.d_model, blocks=self.blocks,
                 attn_func=attn_pattern_schedule(self.attn_stacks, i),
                 m_attn=self.m_attn, m_mlp=self.m_mlp, dropout=self.dropout,
-                dtype=self.dtype, name=f"layer_{i}")
+                dtype=self.dtype, use_flash=self.use_flash, name=f"layer_{i}")
             want_w = collect_weights and (i == 0 or i == self.depth - 1)
             if want_w:
                 x, w = block(x, train=train, return_weights=True)

@@ -36,7 +36,7 @@ otherwise); interpret mode (CPU tests) has no alignment constraint.
 Attention lanes are processed in tiles (``lane_tiles``, auto-sized) so the
 VMEM scratch stays bounded at any batch; the prefetch pipeline makes the
 per-tile DMAs effectively free, and batch 256 remains the throughput sweet
-spot (512 -> 29.8k clips/s).
+spot (512 -> 32.6k clips/s with the chunked row reads).
 Numerics match the XLA path (f32 softmax, -1e9 masking); equality is enforced
 by tests/test_decode_pallas.py (token-exact under greedy) and the
 decode==full-forward invariant.
@@ -64,7 +64,10 @@ LANE = 128
 
 
 def decode_pallas_available(n_samples: int = LANE, heads: int = 1) -> bool:
-    return (_HAS_PLTPU and jax.default_backend() not in ("cpu",)
+    # TPU-only kernel; TPU plugin backends report names like 'axon', so
+    # exclude the known non-TPU backends rather than matching 'tpu'.
+    return (_HAS_PLTPU
+            and jax.default_backend() not in ("cpu", "gpu", "cuda", "rocm")
             and (n_samples * heads) % LANE == 0)
 
 

@@ -132,7 +132,8 @@ def make_decode_fn(
                             and mode in (SampleMode.GUMBEL, SampleMode.GREEDY))
     assert not (sample_in_kernel and not fused)
     assert not (sample_in_kernel
-                and (prime_len > 0 or return_logits or top_k > 0)), (
+                and (prime_len > 0 or return_logits
+                     or mode not in (SampleMode.GUMBEL, SampleMode.GREEDY))), (
         "sample_in_kernel supports the unprimed gumbel/greedy fast path only")
     bins_p = -(-cfg.bins // 128) * 128  # head/emb padded to the lane size
 
@@ -292,9 +293,10 @@ def make_decode_fn(
             return (next_token, uc, kc, vc, step_rng), out
 
         token0 = jnp.full((n_samples,), start_token, jnp.int32)
-        if fused and sample_in_kernel:
-            from vae_music_tpu.ops.decode_pallas import fused_decode_step_sample
-
+        if fused:
+            # Folded per-layer weights stacked for the kernel, and the
+            # lane-major HBM caches (bf16 caches halve the per-step DMA —
+            # opt-in, serving); shared by both fused scan bodies.
             nh = n_samples * heads
             fused_weights = (
                 jnp.stack([lp["qkv_kernel"] for lp in layers]),
@@ -308,6 +310,13 @@ def make_decode_fn(
                 jnp.stack([lp["mlp"]["kernel"] for lp in layers]),
                 jnp.stack([lp["mlp"]["bias"] for lp in layers]),
             )
+            uc0 = jnp.zeros((depth, n_samples, 2, width), jnp.float32)
+            kc0 = jnp.zeros((depth, blocks, block_len, hd, nh),
+                            jnp.dtype(cache_dtype))
+            vc0 = jnp.zeros_like(kc0)
+        if fused and sample_in_kernel:
+            from vae_music_tpu.ops.decode_pallas import fused_decode_step_sample
+
             inv_temp = jnp.float32(1.0 / max(temperature, 1e-6))
             head_k = (out_k * inv_temp).astype(jnp.float32)      # (width, bins)
             head_k = jnp.pad(head_k, ((0, 0), (0, bins_p - cfg.bins)))
@@ -342,11 +351,6 @@ def make_decode_fn(
             seeds = jax.lax.bitcast_convert_type(
                 jax.random.bits(rng, (2,), jnp.uint32), jnp.int32)
 
-            uc0 = jnp.zeros((depth, n_samples, 2, width), jnp.float32)
-            kc0 = jnp.zeros((depth, blocks, block_len, hd, nh),
-                            jnp.dtype(cache_dtype))
-            vc0 = jnp.zeros_like(kc0)
-
             def sample_scan_step(carry, t):
                 x, uc, kc, vc = carry
                 scalars = jnp.stack(
@@ -364,25 +368,6 @@ def make_decode_fn(
                                       jnp.arange(ctx_len))       # (ctx, N)
             return jnp.concatenate([token0[:, None], sampled.T], axis=1)
         if fused:
-            nh = n_samples * heads
-            fused_weights = (
-                jnp.stack([lp["qkv_kernel"] for lp in layers]),
-                jnp.stack([lp["qkv_bias"] for lp in layers]),
-                jnp.stack([lp["out_kernel"] for lp in layers]),
-                jnp.stack([lp["out_bias"] for lp in layers]),
-                jnp.stack([lp["ln1"]["scale"] for lp in layers]),
-                jnp.stack([lp["ln1"]["bias"] for lp in layers]),
-                jnp.stack([lp["ln2"]["scale"] for lp in layers]),
-                jnp.stack([lp["ln2"]["bias"] for lp in layers]),
-                jnp.stack([lp["mlp"]["kernel"] for lp in layers]),
-                jnp.stack([lp["mlp"]["bias"] for lp in layers]),
-            )
-            uc0 = jnp.zeros((depth, n_samples, 2, width), jnp.float32)
-            # lane-major cache layout (see ops/decode_pallas.py docstring);
-            # bf16 caches halve the per-step DMA (opt-in, serving)
-            kc0 = jnp.zeros((depth, blocks, block_len, hd, nh),
-                            jnp.dtype(cache_dtype))
-            vc0 = jnp.zeros_like(kc0)
             carry0 = (token0, uc0, kc0, vc0, rng)
             _, outs = jax.lax.scan(fused_scan_step, carry0,
                                    jnp.arange(ctx_len))

@@ -330,7 +330,8 @@ class AncestralSampler:
         independent streams.  Returns fn(rng[, y_genre]) -> (N, T, C) with
         the batch dimension sharded over ``axis``.
         """
-        import numpy as np_
+        import inspect
+
         from jax.sharding import PartitionSpec as P
 
         try:  # jax >= 0.7 promotes shard_map out of experimental
@@ -338,7 +339,12 @@ class AncestralSampler:
         except ImportError:  # pragma: no cover
             from jax.experimental.shard_map import shard_map
 
-        n_dev = int(np_.prod([mesh.shape[a] for a in (axis,)]))
+        # The replication-check kwarg was renamed check_rep -> check_vma.
+        rep_kwarg = ("check_vma" if "check_vma"
+                     in inspect.signature(shard_map).parameters
+                     else "check_rep")
+
+        n_dev = mesh.shape[axis]
         assert n_samples % n_dev == 0, (n_samples, n_dev)
         local = self.compile_chain(n_samples // n_dev, with_labels=with_labels)
 
@@ -348,12 +354,12 @@ class AncestralSampler:
                 return local(rng, y)
 
             fn = shard_map(body, mesh=mesh, in_specs=(P(), P(axis)),
-                           out_specs=P(axis), check_vma=False)
+                           out_specs=P(axis), **{rep_kwarg: False})
         else:
             def body(rng):
                 rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
                 return local(rng)
 
             fn = shard_map(body, mesh=mesh, in_specs=(P(),),
-                           out_specs=P(axis), check_vma=False)
+                           out_specs=P(axis), **{rep_kwarg: False})
         return jax.jit(fn)
