@@ -81,6 +81,31 @@ def test_full_reference_workflow():
     assert long_audio.shape == (2, 2048, 1)
 
 
+@pytest.mark.slow
+def test_facade_serving_entry_points():
+    """compile_chain / export through the facade == each other exactly."""
+    x, y = synthetic_audio_batch(0, 4, 1024)
+    vqvae = VQVAE(_cfg())
+    vqvae.train_step(x[:4])
+    top = Prior(1, vqvae, prior_cfg=_prior_cfg(1, False))
+    up = Prior(0, vqvae, prior_cfg=_prior_cfg(0, True))
+    sampler = VQVAESampler(vqvae, [up, top])
+
+    chain = sampler.compile_chain(2)
+    wav = np.asarray(chain(jax.random.PRNGKey(4), y[:2]))
+    assert wav.shape == (2, 1024, 1)
+    import tempfile
+
+    from vae_music_tpu.sample.export import load_chain
+
+    with tempfile.TemporaryDirectory() as d:
+        p = f"{d}/chain.jaxexp"
+        assert sampler.export(2, p) > 10_000
+        exported = np.asarray(load_chain(p)(
+            jnp.asarray(jax.random.PRNGKey(4), jnp.uint32), y[:2]))
+    np.testing.assert_allclose(exported, wav, atol=1e-6)
+
+
 def test_api_smoke_fast():
     """Fast-tier facade coverage: VQVAE train/encode/decode + Prior
     train_step/call shapes on a single level (the full workflow incl.

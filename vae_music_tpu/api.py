@@ -264,3 +264,24 @@ class VQVAESampler:
         self._sampler.codebooks = self.vqvae.codebooks
         return self._sampler.sample_audio_long(n_samples, rng, total_ctx_mult,
                                                overlap_frac, y)
+
+    def _refresh(self):
+        self._sampler.prior_params = [p.state.params for p in self.priors]
+        self._sampler.vqvae_params = self.vqvae.params
+        self._sampler.codebooks = self.vqvae.codebooks
+        return self._sampler
+
+    def compile_chain(self, n_samples: int, **kw):
+        """ONE jitted serving program for the whole chain (beyond-reference)."""
+        return self._refresh().compile_chain(n_samples, **kw)
+
+    def compile_chain_sharded(self, n_samples: int, mesh, **kw):
+        """Batch-sharded multi-chip serving (docs/PARALLELISM.md)."""
+        return self._refresh().compile_chain_sharded(n_samples, mesh, **kw)
+
+    def export(self, n_samples: int, path: str, **kw) -> int:
+        """Serialize the serving chain to a jax.export artifact; a serving
+        host needs only jax to run it (sample/export.py)."""
+        from vae_music_tpu.sample.export import export_chain
+
+        return export_chain(self._refresh(), n_samples, path, **kw)
