@@ -376,13 +376,20 @@ def _auto_lane_tiles(nh: int, block_len: int, hd: int, cache_bytes: int,
     (1, 1, hd, nh) staging buffers are NOT tiled but are block_len-fold
     smaller."""
     budget = 8 * 1024 * 1024
-    tiles = 1
-    while ((4 * block_len + 2 * blocks) * hd * (nh // tiles) * cache_bytes
-           > budget
-           and nh % (tiles * 2) == 0
-           and (nh // (tiles * 2)) % LANE == 0):
-        tiles *= 2
-    return tiles
+
+    def scratch(tiles):
+        return ((4 * block_len + 2 * blocks) * hd * (nh // tiles)
+                * cache_bytes)
+
+    # Smallest tile count that divides nh into 128-lane-aligned tiles and
+    # fits the budget (e.g. nh=384 -> 3 tiles of 128; a power-of-2-only
+    # search would leave it untiled and blow scoped VMEM).
+    candidates = [t for t in range(1, nh // LANE + 1)
+                  if nh % t == 0 and (nh // t) % LANE == 0]
+    for tiles in candidates:
+        if scratch(tiles) <= budget:
+            return tiles
+    return candidates[-1] if candidates else 1
 
 
 @functools.partial(
