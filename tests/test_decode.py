@@ -207,3 +207,29 @@ def test_sample_long_overlap_extremes(overlap):
                                    overlap_frac=overlap)
     assert [z.shape for z in zs] == [(1, 2 * 128), (1, 2 * 32)]
     assert all(np.isfinite(np.asarray(z)).all() for z in zs)
+
+
+def test_top_p_sample_token():
+    """Nucleus sampling: tokens only from the smallest prefix of
+    descending-prob tokens whose mass reaches top_p; top_p=1 == categorical."""
+    import numpy as np
+
+    from vae_music_tpu.sample.decode import SampleMode, sample_token
+
+    # probs ~ [0.57, 0.21, 0.12, 0.08, 0.02, ...tiny]: top_p=0.7 keeps {0, 1}.
+    base = jnp.log(jnp.asarray([28.0, 10.5, 6.0, 4.0, 1.0, 0.2, 0.1, 0.05]))
+    logits = jnp.tile(base[None], (256, 1))
+    toks = np.asarray(sample_token(jax.random.PRNGKey(0), logits,
+                                   SampleMode.TOP_P, top_p=0.7))
+    assert set(toks.tolist()) <= {0, 1}
+    assert len(set(toks.tolist())) == 2            # actually sampling, not greedy
+
+    # top_p=1.0 must match plain categorical exactly (same rng stream).
+    a = sample_token(jax.random.PRNGKey(1), logits, SampleMode.TOP_P, top_p=1.0)
+    b = sample_token(jax.random.PRNGKey(1), logits, SampleMode.GUMBEL)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # threshold token itself stays includable: top_p just above P(top)
+    toks2 = np.asarray(sample_token(jax.random.PRNGKey(2), logits,
+                                    SampleMode.TOP_P, top_p=0.58))
+    assert set(toks2.tolist()) <= {0, 1}

@@ -15,8 +15,9 @@ def main():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out_dir", default="samples")
     p.add_argument("--temperature", type=float, default=1.0)
-    p.add_argument("--mode", choices=["gumbel", "greedy", "top_k"], default="gumbel")
+    p.add_argument("--mode", choices=["gumbel", "greedy", "top_k", "top_p"], default="gumbel")
     p.add_argument("--top_k", type=int, default=0)
+    p.add_argument("--top_p", type=float, default=1.0)
     p.add_argument("--total_ctx_mult", type=int, default=1,
                    help=">1 generates N context windows of audio via "
                         "overlapping primed windows (arbitrary length)")
@@ -44,7 +45,7 @@ def main():
     sampler = AncestralSampler.from_config(
         scfg, jax.random.PRNGKey(args.seed),
         mode=SampleMode(args.mode), temperature=args.temperature,
-        top_k=args.top_k, serve_dtype=args.serve_dtype,
+        top_k=args.top_k, top_p=args.top_p, serve_dtype=args.serve_dtype,
         cache_dtype=args.cache_dtype)
 
     # Template-free restore: only params/codebooks are read, so checkpoints

@@ -22,7 +22,8 @@ tests/test_decode.py.
 
 Sampling mode default is Gumbel-max categorical, mathematically identical to
 the reference's ``RelaxedOneHotCategorical(temp=1).sample() -> argmax``
-(autoregressive_fmha.py:217-221); greedy / temperature / top-k also provided.
+(autoregressive_fmha.py:217-221); greedy / temperature / top-k / top-p
+(nucleus, beyond-reference) also provided.
 """
 
 from __future__ import annotations
@@ -41,6 +42,7 @@ class SampleMode(enum.Enum):
     GUMBEL = "gumbel"      # categorical via Gumbel-max (reference default)
     GREEDY = "greedy"
     TOP_K = "top_k"
+    TOP_P = "top_p"        # nucleus sampling (beyond-reference)
 
 
 def _layernorm(x, scale, bias, eps=1e-6):
@@ -66,7 +68,8 @@ def _attend_single(q, k, v, mask=None):
 
 
 def sample_token(rng: jax.Array, logits: jnp.ndarray, mode: SampleMode,
-                 temperature: float = 1.0, top_k: int = 0) -> jnp.ndarray:
+                 temperature: float = 1.0, top_k: int = 0,
+                 top_p: float = 1.0) -> jnp.ndarray:
     """(N, bins) logits -> (N,) int32 tokens."""
     if mode == SampleMode.GREEDY:
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
@@ -74,6 +77,15 @@ def sample_token(rng: jax.Array, logits: jnp.ndarray, mode: SampleMode,
     if mode == SampleMode.TOP_K and top_k > 0:
         kth = jnp.sort(logits, axis=-1)[:, -top_k][:, None]
         logits = jnp.where(logits < kth, -1e9, logits)
+    if mode == SampleMode.TOP_P and top_p < 1.0:
+        # Nucleus: keep the smallest prefix of descending-prob tokens whose
+        # cumulative mass reaches top_p (the threshold token included).
+        sorted_logits = jnp.sort(logits, axis=-1)[:, ::-1]
+        probs = jax.nn.softmax(sorted_logits, axis=-1)
+        keep = jnp.cumsum(probs, axis=-1) - probs < top_p   # (N, bins)
+        cutoff = jnp.min(jnp.where(keep, sorted_logits, jnp.inf),
+                         axis=-1, keepdims=True)
+        logits = jnp.where(logits < cutoff, -1e9, logits)
     return jax.random.categorical(rng, logits, axis=-1).astype(jnp.int32)
 
 
@@ -85,6 +97,7 @@ def make_decode_fn(
     mode: SampleMode = SampleMode.GUMBEL,
     temperature: float = 1.0,
     top_k: int = 0,
+    top_p: float = 1.0,
     return_logits: bool = False,
     unroll: int = 1,
     fused: Optional[bool] = None,
@@ -128,7 +141,7 @@ def make_decode_fn(
         # kernel) covers the serving fast path; priming, logits capture, and
         # top-k fall back to per-step XLA sampling.
         sample_in_kernel = (fused and prime_len == 0 and not return_logits
-                            and top_k == 0
+                            and top_k == 0 and top_p >= 1.0
                             and mode in (SampleMode.GUMBEL, SampleMode.GREEDY))
     assert not (sample_in_kernel and not fused)
     assert not (sample_in_kernel
@@ -260,7 +273,8 @@ def make_decode_fn(
             logits = x @ out_k + out_b                 # (N, bins)
             step_rng, sub = jax.random.split(step_rng)
             next_token = apply_prime(
-                sample_token(sub, logits, mode, temperature, top_k), t)
+                sample_token(sub, logits, mode, temperature, top_k,
+                             top_p), t)
             out = (next_token, logits) if return_logits else next_token
             return (next_token, tuple(k_cache), tuple(v_cache),
                     tuple(u_cache), step_rng), out
@@ -288,7 +302,8 @@ def make_decode_fn(
             logits = x @ out_k + out_b
             step_rng, sub = jax.random.split(step_rng)
             next_token = apply_prime(
-                sample_token(sub, logits, mode, temperature, top_k), t)
+                sample_token(sub, logits, mode, temperature, top_k,
+                             top_p), t)
             out = (next_token, logits) if return_logits else next_token
             return (next_token, uc, kc, vc, step_rng), out
 

@@ -40,6 +40,7 @@ class AncestralSampler:
         mode: SampleMode = SampleMode.GUMBEL,
         temperature: float = 1.0,
         top_k: int = 0,
+        top_p: float = 1.0,
         serve_dtype: Optional[str] = None,   # e.g. 'bfloat16' for the conv stacks
         cache_dtype: str = "float32",        # 'bfloat16' halves decode DMA (serving)
         sample_in_kernel: Optional[bool] = None,  # None = auto (fused fast path)
@@ -56,6 +57,7 @@ class AncestralSampler:
         self.mode = mode
         self.temperature = temperature
         self.top_k = top_k
+        self.top_p = top_p
         self.serve_dtype = serve_dtype
         self.cache_dtype = cache_dtype
         self.sample_in_kernel = sample_in_kernel
@@ -172,7 +174,8 @@ class AncestralSampler:
             self._decode_fns[key] = make_decode_fn(
                 self.prior_cfgs[level], self.specs[level].ctx_len, n_samples,
                 mode=self.mode, temperature=self.temperature,
-                top_k=self.top_k, cache_dtype=self.cache_dtype,
+                top_k=self.top_k, top_p=self.top_p,
+                cache_dtype=self.cache_dtype,
                 prime_len=prime_len,
                 sample_in_kernel=(self.sample_in_kernel if prime_len == 0
                                   else None))
@@ -276,6 +279,7 @@ class AncestralSampler:
             make_decode_fn(self.prior_cfgs[l], self.specs[l].ctx_len,
                            n_samples, mode=self.mode,
                            temperature=self.temperature, top_k=self.top_k,
+                           top_p=self.top_p,
                            cache_dtype=self.cache_dtype,
                            sample_in_kernel=self.sample_in_kernel)
             for l in range(self.levels)
