@@ -164,6 +164,7 @@ class Prior:
     def sample(self, n_samples: int, z_cond=None, y=None,
                rng: Optional[jax.Array] = None,
                mode: SampleMode = SampleMode.GUMBEL,
+               temperature: float = 1.0, top_k: int = 0, top_p: float = 1.0,
                prime=None) -> jnp.ndarray:
         """Sample one context window of codes (prior.py:374-408).
 
@@ -174,10 +175,12 @@ class Prior:
         if rng is None:
             self._rng, rng = jax.random.split(self._rng)
         prime_len = 0 if prime is None else int(prime.shape[1])
-        key = (n_samples, mode, prime_len)
+        key = (n_samples, mode, temperature, top_k, top_p, prime_len)
         if key not in self._decoders:
             self._decoders[key] = make_decode_fn(self.cfg, self.context_length,
                                                  n_samples, mode=mode,
+                                                 temperature=temperature,
+                                                 top_k=top_k, top_p=top_p,
                                                  prime_len=prime_len)
         x_cond = (self._cond(self.state.params, jnp.asarray(z_cond))
                   if z_cond is not None else None)
