@@ -101,6 +101,7 @@ def _make_kernel(depth, n, heads, hd, width, blocks, block_len, patterns,
              x_out_ref, uc_out_ref, kc_out_ref, vc_out_ref,
              khist_ref, vhist_ref, kcol_ref, vcol_ref,      # VMEM scratch
              kt_ref, vt_ref,                                # VMEM staging
+             logit_ref, acc_ref,                            # row-chunk scratch
              read_sems, aux_sems, write_sems) = refs
         else:
             (scalar_ref,                                    # SMEM (1, 6): t, b, i, 0, s0, s1
@@ -113,6 +114,7 @@ def _make_kernel(depth, n, heads, hd, width, blocks, block_len, patterns,
              x_out_ref, tok_ref, uc_out_ref, kc_out_ref, vc_out_ref,
              khist_ref, vhist_ref, kcol_ref, vcol_ref,
              kt_ref, vt_ref, stream_scratch,
+             logit_ref, acc_ref,
              read_sems, aux_sems, write_sems) = refs
         t = scalar_ref[0, 0]
         b = scalar_ref[0, 1]
@@ -201,11 +203,6 @@ def _make_kernel(depth, n, heads, hd, width, blocks, block_len, patterns,
                     def _(j=j, c=c):
                         hist_chunk_dma(j, 0, c).start()
                         hist_chunk_dma(j, 1, c).start()
-
-                    @pl.when(jnp.logical_not(needed))
-                    def _(slot=slot, c=c):
-                        vhist_ref[slot, c * chunk:(c + 1) * chunk] = (
-                            jnp.zeros((chunk, hd, nh_t), cache_dtype))
             else:
                 hist_chunk_dma(j, 0, 0).start()
                 hist_chunk_dma(j, 1, 0).start()
@@ -273,10 +270,47 @@ def _make_kernel(depth, n, heads, hd, width, blocks, block_len, patterns,
                     hist_wait(jidx)
                     k_hist = khist_ref[slot]                # (l, hd, nh_t)
                     v_hist = vhist_ref[slot]
-                    # logits over keys: (l, nh_t), lane-parallel
-                    logits = jnp.sum(k_hist * jnp.expand_dims(q_s, 0), axis=1) * inv_sqrt_hd
-                    if pattern == 0:
+                    if pattern == 0 and n_chunks > 1:
+                        # Predicated per-chunk compute: a chunk entirely
+                        # above offset i costs neither DMA nor VPU work —
+                        # its logits are staged as -1e9, matching the mask
+                        # the full-read path would apply (on average this
+                        # halves the row-pattern attention arithmetic).
+                        for c in range(n_chunks):
+                            cs = c * chunk
+
+                            @pl.when(cs < i)
+                            def _(cs=cs):
+                                logit_ref[cs:cs + chunk] = jnp.sum(
+                                    k_hist[cs:cs + chunk]
+                                    * jnp.expand_dims(q_s, 0),
+                                    axis=1) * inv_sqrt_hd
+
+                            @pl.when(cs >= i)
+                            def _(cs=cs):
+                                logit_ref[cs:cs + chunk] = jnp.full(
+                                    (chunk, nh_t), neg, jnp.float32)
+                        logits = jnp.where(row_ids < i, logit_ref[:], neg)
+                        full = jnp.concatenate([logits, logit_cur], axis=0)
+                        w = jax.nn.softmax(full, axis=0)    # (l+1, nh_t)
+                        w_cur = jax.lax.slice_in_dim(
+                            w, block_len, block_len + 1, axis=0)
+                        acc_ref[:] = w_cur * v_s
+                        for c in range(n_chunks):
+                            cs = c * chunk
+
+                            @pl.when(cs < i)
+                            def _(cs=cs):
+                                acc_ref[:] += jnp.sum(
+                                    jnp.expand_dims(jax.lax.slice_in_dim(
+                                        w, cs, cs + chunk, axis=0), 1)
+                                    * v_hist[cs:cs + chunk], axis=0)
+                        attn_t = acc_ref[:]
+                    elif pattern == 0:
                         # row: history strictly below offset i; current appended.
+                        logits = jnp.sum(
+                            k_hist * jnp.expand_dims(q_s, 0),
+                            axis=1) * inv_sqrt_hd
                         logits = jnp.where(row_ids < i, logits, neg)
                         full = jnp.concatenate([logits, logit_cur], axis=0)
                         w = jax.nn.softmax(full, axis=0)    # (l+1, nh_t)
@@ -287,6 +321,9 @@ def _make_kernel(depth, n, heads, hd, width, blocks, block_len, patterns,
                     else:
                         # prev_row: whole previous block, no current token; the
                         # uniform-over-zero-block b==0 case must output zero.
+                        logits = jnp.sum(
+                            k_hist * jnp.expand_dims(q_s, 0),
+                            axis=1) * inv_sqrt_hd
                         w = jax.nn.softmax(logits, axis=0)
                         attn_t = jnp.sum(jnp.expand_dims(w, 1) * v_hist, axis=0)
                         attn_t = attn_t * (b > 0).astype(attn_t.dtype)
@@ -447,6 +484,8 @@ def fused_decode_step(
             pltpu.VMEM((blocks, 1, hd, nh_t), cache_dtype),     # vcol
             pltpu.VMEM((1, 1, hd, nh), cache_dtype),           # kt staging
             pltpu.VMEM((1, 1, hd, nh), cache_dtype),           # vt staging
+            pltpu.VMEM((block_len, nh_t), jnp.float32),        # row logits
+            pltpu.VMEM((hd, nh_t), jnp.float32),               # row attn acc
             pltpu.SemaphoreType.DMA((2, 2, 4)),                # hist chunk sems
             pltpu.SemaphoreType.DMA((3,)),                     # col k/v + stream
             pltpu.SemaphoreType.DMA((depth, 2)),               # write sems
@@ -541,6 +580,8 @@ def fused_decode_step_sample(
             pltpu.VMEM((1, 1, hd, nh), cache_dtype),           # kt staging
             pltpu.VMEM((1, 1, hd, nh), cache_dtype),           # vt staging
             pltpu.VMEM((1, n_stream, width), jnp.float32),     # stream slice
+            pltpu.VMEM((block_len, nh_t), jnp.float32),        # row logits
+            pltpu.VMEM((hd, nh_t), jnp.float32),               # row attn acc
             pltpu.SemaphoreType.DMA((2, 2, 4)),                # hist chunk sems
             pltpu.SemaphoreType.DMA((3,)),                     # col k/v + stream
             pltpu.SemaphoreType.DMA((depth, 2)),               # write sems
