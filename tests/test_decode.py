@@ -233,3 +233,24 @@ def test_top_p_sample_token():
     toks2 = np.asarray(sample_token(jax.random.PRNGKey(2), logits,
                                     SampleMode.TOP_P, top_p=0.58))
     assert set(toks2.tolist()) <= {0, 1}
+
+
+def test_top_p_decode_end_to_end():
+    """TOP_P mode through make_decode_fn: valid tokens, varies across seeds,
+    and is excluded from the in-kernel fast path by the auto-gate."""
+    vcfg = _vqvae_cfg()
+    pcfg = _prior_cfg(1)
+    _, params = init_prior(jax.random.PRNGKey(1), vcfg, pcfg)
+    ctx = vcfg.z_lengths[1]
+    dec = make_decode_fn(pcfg, ctx, 2, mode=SampleMode.TOP_P, top_p=0.9)
+    a = np.asarray(dec(params, jax.random.PRNGKey(2), None, None))
+    b = np.asarray(dec(params, jax.random.PRNGKey(3), None, None))
+    assert a.shape == (2, ctx + 1)
+    assert (a[:, 1:] >= 0).all() and (a[:, 1:] < pcfg.bins).all()
+    assert (a != b).any()                      # sampling, not greedy
+
+    import pytest as _pytest
+
+    with _pytest.raises(AssertionError):
+        make_decode_fn(pcfg, ctx, 2, mode=SampleMode.TOP_P, top_p=0.9,
+                       fused=True, fused_interpret=True, sample_in_kernel=True)

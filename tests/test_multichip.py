@@ -135,3 +135,23 @@ def test_sharded_serving_chain_matches_per_shard():
     ]
     np.testing.assert_allclose(np.asarray(wav), np.concatenate(per_shard),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_sharded_serving_chain_unlabeled():
+    """with_labels=False variant of the sharded chain (rng-only signature)."""
+    from vae_music_tpu.configs import SamplerConfig, VQVAEConfig
+    from vae_music_tpu.sample.sampler import AncestralSampler
+
+    vcfg = VQVAEConfig(
+        sample_length=512, levels=2, latent_dim=8, codebook_size=16,
+        down_depth=(3, 2), strides=(2, 2), residual_width=8, residual_depth=1,
+        dilation_factor=3, use_spectral_loss=False,
+    ).validate()
+    scfg = SamplerConfig(vqvae=vcfg, prior_width=16, prior_depth=2,
+                         prior_heads=2, prior_blocks=4)
+    sampler = AncestralSampler.from_config(scfg, jax.random.PRNGKey(0))
+    mesh = Mesh(np.array(jax.devices()[:4]), ("data",))
+    fn = sampler.compile_chain_sharded(8, mesh, with_labels=False)
+    wav = fn(jax.random.PRNGKey(1))
+    assert wav.shape == (8, vcfg.sample_length, 1)
+    assert np.isfinite(np.asarray(wav)).all()
