@@ -241,19 +241,13 @@ class VQVAESampler:
         rng = jax.random.PRNGKey(0) if rng is None else rng
         y = jnp.asarray(y_genre) if y_genre is not None else None
         # refresh params in case priors trained since construction
-        self._sampler.prior_params = [p.state.params for p in self.priors]
-        self._sampler.vqvae_params = self.vqvae.params
-        self._sampler.codebooks = self.vqvae.codebooks
-        return self._sampler.sample_codes(n_samples, rng, y)
+        return self._refresh().sample_codes(n_samples, rng, y)
 
     def sample_audio(self, n_samples: int, y_genre=None,
                      rng: Optional[jax.Array] = None) -> jnp.ndarray:
         rng = jax.random.PRNGKey(0) if rng is None else rng
         y = jnp.asarray(y_genre) if y_genre is not None else None
-        self._sampler.prior_params = [p.state.params for p in self.priors]
-        self._sampler.vqvae_params = self.vqvae.params
-        self._sampler.codebooks = self.vqvae.codebooks
-        return self._sampler.sample_audio(n_samples, rng, y)
+        return self._refresh().sample_audio(n_samples, rng, y)
 
     def sample_audio_long(self, n_samples: int, total_ctx_mult: int = 2,
                           overlap_frac: float = 0.5, y_genre=None,
@@ -262,11 +256,9 @@ class VQVAESampler:
         beyond the reference's single-window sampler (Sampler.py:111-119)."""
         rng = jax.random.PRNGKey(0) if rng is None else rng
         y = jnp.asarray(y_genre) if y_genre is not None else None
-        self._sampler.prior_params = [p.state.params for p in self.priors]
-        self._sampler.vqvae_params = self.vqvae.params
-        self._sampler.codebooks = self.vqvae.codebooks
-        return self._sampler.sample_audio_long(n_samples, rng, total_ctx_mult,
-                                               overlap_frac, y)
+        return self._refresh().sample_audio_long(n_samples, rng,
+                                                 total_ctx_mult,
+                                                 overlap_frac, y)
 
     def _refresh(self):
         self._sampler.prior_params = [p.state.params for p in self.priors]

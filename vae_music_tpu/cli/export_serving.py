@@ -36,18 +36,12 @@ def main():
     sampler = AncestralSampler.from_config(
         get_config(args.config), jax.random.PRNGKey(args.seed),
         serve_dtype=args.serve_dtype, cache_dtype=args.cache_dtype)
-    if args.vqvae_ckpt:
-        from vae_music_tpu.train.checkpoint import CheckpointManager
+    # Template-free restore: only params/codebooks are read, so checkpoints
+    # load regardless of how they were trained (plain Adam, --accum_steps...).
+    if args.vqvae_ckpt or args.prior_ckpts:
+        from vae_music_tpu.train.checkpoint import restore_sampler
 
-        restored = CheckpointManager(args.vqvae_ckpt).restore_params()
-        sampler.vqvae_params = restored["params"]
-        sampler.codebooks = restored["codebooks"]
-    if args.prior_ckpts:
-        from vae_music_tpu.train.checkpoint import CheckpointManager
-
-        for level, path in enumerate(args.prior_ckpts):
-            sampler.prior_params[level] = (
-                CheckpointManager(path).restore_params()["params"])
+        restore_sampler(sampler, args.vqvae_ckpt, args.prior_ckpts)
 
     size = export_chain(sampler, args.n_samples, args.out,
                         with_labels=not args.no_labels,

@@ -50,18 +50,10 @@ def main():
 
     # Template-free restore: only params/codebooks are read, so checkpoints
     # load regardless of how they were trained (plain Adam, --accum_steps...).
-    if args.vqvae_ckpt:
-        from vae_music_tpu.train.checkpoint import CheckpointManager
+    if args.vqvae_ckpt or args.prior_ckpts:
+        from vae_music_tpu.train.checkpoint import restore_sampler
 
-        restored = CheckpointManager(args.vqvae_ckpt).restore_params()
-        sampler.vqvae_params = restored["params"]
-        sampler.codebooks = restored["codebooks"]
-    if args.prior_ckpts:
-        from vae_music_tpu.train.checkpoint import CheckpointManager
-
-        for level, path in enumerate(args.prior_ckpts):
-            sampler.prior_params[level] = (
-                CheckpointManager(path).restore_params()["params"])
+        restore_sampler(sampler, args.vqvae_ckpt, args.prior_ckpts)
 
     y = (jnp.full((args.n_samples,), args.genre, jnp.int32)
          if args.genre is not None else None)

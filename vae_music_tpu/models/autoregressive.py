@@ -92,6 +92,7 @@ def make_dense_decode_fn(
     mode: SampleMode = SampleMode.GREEDY,   # reference samples greedily (:163)
     temperature: float = 1.0,
     top_k: int = 0,
+    top_p: float = 1.0,
     return_logits: bool = False,
     unroll: int = 1,
 ):
@@ -144,7 +145,7 @@ def make_dense_decode_fn(
                 x = _ln(out1 + ffn, lp["ln2"])
             logits = x @ out_k + out_b
             step_rng, sub = jax.random.split(step_rng)
-            nxt = sample_token(sub, logits, mode, temperature, top_k)
+            nxt = sample_token(sub, logits, mode, temperature, top_k, top_p)
             out = (nxt, logits) if return_logits else nxt
             return (nxt, k_cache, v_cache, step_rng), out
 

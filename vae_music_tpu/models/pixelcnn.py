@@ -138,7 +138,8 @@ def pixelcnn_log_prob(model: PixelCNN, params, codes,
 
 def make_pixelcnn_sampler(model: PixelCNN, grid_shape: Tuple[int, ...],
                           n_samples: int, *, mode: SampleMode = SampleMode.GUMBEL,
-                          temperature: float = 1.0):
+                          temperature: float = 1.0, top_k: int = 0,
+                          top_p: float = 1.0):
     """Raster-scan ancestral sampling as a jitted lax.scan (notebook cell 50).
 
     grid_shape: (H, W) or (T,).  Each step re-runs the (fully-convolutional)
@@ -159,7 +160,7 @@ def make_pixelcnn_sampler(model: PixelCNN, grid_shape: Tuple[int, ...],
             logit = jax.lax.dynamic_slice(
                 logits, (0, r, c, 0), (n_samples, 1, 1, logits.shape[-1]))[:, 0, 0]
             step_rng, sub = jax.random.split(step_rng)
-            tok = sample_token(sub, logit, mode, temperature)
+            tok = sample_token(sub, logit, mode, temperature, top_k, top_p)
             grid = jax.lax.dynamic_update_slice(
                 grid, tok[:, None, None].astype(grid.dtype), (0, r, c))
             return (grid, step_rng), None

@@ -79,7 +79,10 @@ def sample_token(rng: jax.Array, logits: jnp.ndarray, mode: SampleMode,
         logits = jnp.where(logits < kth, -1e9, logits)
     if mode == SampleMode.TOP_P and top_p < 1.0:
         # Nucleus: keep the smallest prefix of descending-prob tokens whose
-        # cumulative mass reaches top_p (the threshold token included).
+        # cumulative mass reaches top_p (the threshold token included).  The
+        # floor keeps the top token selectable even at top_p <= 0 (which
+        # would otherwise mask EVERY bin and degenerate to token 0).
+        top_p = max(float(top_p), 1e-9)
         sorted_logits = jnp.sort(logits, axis=-1)[:, ::-1]
         probs = jax.nn.softmax(sorted_logits, axis=-1)
         keep = jnp.cumsum(probs, axis=-1) - probs < top_p   # (N, bins)

@@ -69,3 +69,20 @@ class CheckpointManager:
 
     def close(self):
         self.mngr.close()
+
+
+def restore_sampler(sampler, vqvae_ckpt=None, prior_ckpts=None):
+    """Template-free restore of trained weights into an AncestralSampler —
+    the shared CLI path (generate / export_serving).
+
+    ``prior_ckpts`` is one checkpoint dir per level, bottom first.
+    """
+    if vqvae_ckpt:
+        restored = CheckpointManager(vqvae_ckpt).restore_params()
+        sampler.vqvae_params = restored["params"]
+        sampler.codebooks = restored["codebooks"]
+    if prior_ckpts:
+        for level, path in enumerate(prior_ckpts):
+            sampler.prior_params[level] = (
+                CheckpointManager(path).restore_params()["params"])
+    return sampler
