@@ -131,3 +131,20 @@ def test_lane_tiled_kernel_matches_untiled():
     for a, b, name in zip(out1, out2, ("x", "uc", "kc", "vc")):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-6, atol=1e-6, err_msg=name)
+
+
+def test_auto_lane_tiles_alignment():
+    """The tile chooser must handle non-power-of-2 lane counts (nh=384 once
+    blew scoped VMEM because only power-of-2 splits were tried) and always
+    return 128-lane-aligned tiles within the scratch budget."""
+    from vae_music_tpu.ops.decode_pallas import LANE, _auto_lane_tiles
+
+    for nh in (128, 256, 384, 512, 640, 768, 1024, 2048):
+        for cache_bytes in (2, 4):
+            t = _auto_lane_tiles(nh, 224, 16, cache_bytes, 4)
+            assert nh % t == 0 and (nh // t) % LANE == 0, (nh, cache_bytes, t)
+            scratch = (4 * 224 + 2 * 4) * 16 * (nh // t) * cache_bytes
+            # within budget unless even maximal tiling cannot fit
+            assert scratch <= 8 * 1024 * 1024 or nh // t == LANE
+    # the flagship serving geometry keeps its measured sweet-spot choice
+    assert _auto_lane_tiles(512, 224, 16, 2, 4) == 2
