@@ -70,8 +70,8 @@ def main():
     scfg = get_config("FULL_PIPELINE")
     vcfg = scfg.vqvae
     # Generation throughput peaks at batch 256 (measured with the prefetch-
-    # pipelined sampling kernel + bf16 serving stacks: 256 -> 38.4k, 512 ->
-    # 32.6k clips/s with chunked row reads).  bf16 KV caches halve the per-step DMA; serve_dtype
+    # pipelined sampling kernel + chunk-predicated row compute + bf16
+    # serving stacks: 256 -> 39.7k, 512 -> 32.6k clips/s).  bf16 KV caches halve the per-step DMA; serve_dtype
     # bf16 runs the conditioner/VQ-decoder conv stacks in bf16 (serving
     # config — loss-parity numbers in PARITY.md are measured in f32);
     # sampling happens inside the fused decode kernel (auto-enabled).
