@@ -148,3 +148,52 @@ def test_quantize_pallas_path_matches_xla():
                                    rtol=1e-4, atol=1e-5)
     finally:
         vqp.fused_vq_assign = orig
+
+
+def test_fused_vq_encode_matches_nearest_code():
+    """Codes-only kernel (interpret mode) == jnp nearest_code, including the
+    padded-tail path (N not a multiple of the tile)."""
+    from vae_music_tpu.nn.quantizer import nearest_code
+    from vae_music_tpu.ops.vq_pallas import fused_vq_encode
+
+    state = init_codebook(jax.random.PRNGKey(0), 8, 16)
+    flat = jax.random.normal(jax.random.PRNGKey(1), (600, 8))
+    ref = nearest_code(flat, state.embeddings)
+    got = fused_vq_encode(flat, state.embeddings, tile=256, interpret=True)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+
+
+def test_fused_vq_assign_padding_masked_in_kernel():
+    """Padded rows must not leak into the EMA statistics (the r2 kernel
+    corrected them post-hoc; r3 masks inside the kernel)."""
+    from vae_music_tpu.ops.vq_pallas import fused_vq_assign
+
+    state = init_codebook(jax.random.PRNGKey(0), 8, 16)
+    flat = jax.random.normal(jax.random.PRNGKey(1), (100, 8))  # 100 % 64 != 0
+    codes, quant, m, n = fused_vq_assign(flat, state.embeddings, tile=64,
+                                         interpret=True)
+    onehot = jax.nn.one_hot(codes, 16, dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(n), np.asarray(onehot.sum(0)),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(m), np.asarray(flat.T @ onehot),
+                               rtol=1e-5, atol=1e-6)
+    assert float(n.sum()) == 100.0
+
+
+def test_auto_dispatch_prefers_jnp_single_chip(monkeypatch):
+    """use_pallas=None must route single-chip programs through the jnp path
+    even when the kernel is available (it measured slower — VERDICT r2 #1);
+    the kernel is auto-used only when a mesh is given."""
+    import vae_music_tpu.nn.quantizer as qz
+    import vae_music_tpu.ops.vq_pallas as vqp
+
+    monkeypatch.setattr(vqp, "vq_pallas_available", lambda: True)
+
+    def boom(*a, **k):
+        raise AssertionError("kernel must not be dispatched single-chip")
+
+    monkeypatch.setattr(vqp, "fused_vq_assign", boom)
+    state = init_codebook(jax.random.PRNGKey(0), 8, 16)
+    z = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 8))
+    out = qz.quantize(state, z, train=True, rng=jax.random.PRNGKey(2))
+    assert out.codes.shape == (2, 32)

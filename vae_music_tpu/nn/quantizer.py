@@ -17,11 +17,12 @@ checkpointable, and — under a GSPMD-sharded train step — the batch statistic
 ``m_t_``/``N_t_`` are *global* reductions (XLA inserts the cross-replica psum),
 which is the multi-device codebook-sync requirement called out in SURVEY.md §2.2.
 
-The distance+argmin+EMA hot path auto-dispatches (``use_pallas=None``) to a
-fused Pallas kernel on TPU (vae_music_tpu.ops.vq_pallas) — per-shard under
-shard_map with psum'd statistics when a ``mesh`` is given — with this jnp
-implementation as the CPU/GSPMD fallback and the bit-exactness reference
-(tests/test_rotation_and_pallas_vq.py).
+The distance+argmin+EMA hot path auto-dispatches (``use_pallas=None``) to
+the measured winner per path: this jnp implementation for single-chip
+programs (XLA's fused argmin ties/beats the Pallas kernel at the flagship
+shape — numbers in ops/vq_pallas.py), and the fused kernel per-shard under
+shard_map with psum'd statistics when a ``mesh`` is given.  The jnp path is
+also the bit-exactness reference (tests/test_rotation_and_pallas_vq.py).
 """
 
 from __future__ import annotations
@@ -144,11 +145,14 @@ def quantize(
 
     ``use_pallas``: route assignment + EMA statistics through the fused
     single-pass TPU kernel (ops/vq_pallas.py).  ``None`` (default)
-    auto-dispatches: the kernel is used on a TPU backend when either a
-    ``mesh`` is given (GSPMD-safe shard_map variant — per-shard kernel,
-    psum'd EMA partials over ``data_axis``) or the process owns a single
-    chip (no sharding possible).  Multi-device programs without a mesh fall
-    back to the jnp path, whose reductions GSPMD auto-partitions.
+    auto-dispatches to the *measured winner per path* (SURVEY.md §7 stage 3):
+    the jnp path for single-chip programs — XLA's fused argmin ties or beats
+    the kernel at the flagship shape (r3 lab numbers in ops/vq_pallas.py),
+    and keeping jnp the default also keeps single-chip training numerics
+    identical across releases — and the shard_map kernel variant when a
+    ``mesh`` is given (per-shard kernel, psum'd EMA partials over
+    ``data_axis``), where it prevents GSPMD from replicating the
+    assignment.  ``use_pallas=True`` forces the kernel anywhere it lowers.
     """
     d, k = state.embeddings.shape
     orig_shape = z_e.shape
@@ -157,8 +161,7 @@ def quantize(
     if use_pallas is None:
         from vae_music_tpu.ops.vq_pallas import vq_pallas_available
 
-        use_pallas = vq_pallas_available() and (
-            mesh is not None or jax.device_count() == 1)
+        use_pallas = vq_pallas_available() and mesh is not None
 
     pallas_stats = None
     if use_pallas:
