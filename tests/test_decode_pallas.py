@@ -118,8 +118,9 @@ def test_lane_tiled_kernel_matches_untiled():
     uc = jax.random.normal(ks[7], (depth, n, 2, width))
     kc = jax.random.normal(ks[8], (depth, blocks, block_len, hd, nh))
     vc = jax.random.normal(ks[9], (depth, blocks, block_len, hd, nh))
-    # mid-sequence position: block 2, offset 3
-    scalars = jnp.array([[2 * block_len + 3, 2, 3, 0]], jnp.int32)
+    # mid-sequence position: t = 2*block_len + 3 (block 2, offset 3 derived
+    # in-kernel)
+    scalars = jnp.array([[2 * block_len + 3]], jnp.int32)
 
     kw = dict(depth=depth, n=n, heads=heads, hd=hd, width=width,
               blocks=blocks, block_len=block_len, patterns=patterns,

@@ -92,7 +92,7 @@ def _make_kernel(depth, n, heads, hd, width, blocks, block_len, patterns,
 
     def kernel(*refs):
         if sample is None:
-            (scalar_ref,                                    # SMEM (1, 4): t, b, i
+            (scalar_ref,                                    # SMEM (1, 1): t
              x_ref, uc_ref,                                 # VMEM
              kc_ref, vc_ref,                                # ANY (HBM)
              qkv_k_ref, qkv_b_ref, out_k_ref, out_b_ref,
@@ -102,9 +102,10 @@ def _make_kernel(depth, n, heads, hd, width, blocks, block_len, patterns,
              khist_ref, vhist_ref, kcol_ref, vcol_ref,      # VMEM scratch
              kt_ref, vt_ref,                                # VMEM staging
              logit_ref, acc_ref,                            # row-chunk scratch
-             read_sems, aux_sems, write_sems) = refs
+             read_sems, col_sems, aux_sems, write_sems) = refs
         else:
-            (scalar_ref,                                    # SMEM (1, 6): t, b, i, 0, s0, s1
+            (scalar_ref,                                    # SMEM (1, 1): t
+             seed_ref,                                      # SMEM (1, 2): s0, s1
              x_ref, uc_ref, kc_ref, vc_ref,
              qkv_k_ref, qkv_b_ref, out_k_ref, out_b_ref,
              ln1s_ref, ln1b_ref, ln2s_ref, ln2b_ref,
@@ -115,24 +116,27 @@ def _make_kernel(depth, n, heads, hd, width, blocks, block_len, patterns,
              khist_ref, vhist_ref, kcol_ref, vcol_ref,
              kt_ref, vt_ref, stream_scratch,
              logit_ref, acc_ref,
-             read_sems, aux_sems, write_sems) = refs
+             read_sems, col_sems, aux_sems, write_sems) = refs
+        # Block/offset bookkeeping lives here on the scalar unit (block_len
+        # is compile-time constant), so the XLA scan body around the kernel
+        # shrinks to a reshape of the loop counter.
         t = scalar_ref[0, 0]
-        b = scalar_ref[0, 1]
-        i = scalar_ref[0, 2]
+        b = t // block_len
+        i = t - b * block_len
         b_prev = jnp.maximum(b - 1, 0)
 
         if sample is not None:
             # Next position's pos(+x_cond) slice: in flight during the layers.
             stream_dma = pltpu.make_async_copy(
                 stream_ref.at[pl.ds(t + 1, 1)], stream_scratch,
-                aux_sems.at[2])
+                aux_sems.at[0])
             stream_dma.start()
             if sample["mode"] == "gumbel":
                 # Per-step stream: Mosaic takes at most two seed words, so
                 # fold t in via golden-ratio mixing (int32 wraparound is fine).
                 pltpu.prng_seed(
-                    scalar_ref[0, 4] + t * jnp.int32(-1640531527),
-                    scalar_ref[0, 5] ^ (t * jnp.int32(40503) + jnp.int32(1)))
+                    seed_ref[0, 0] + t * jnp.int32(-1640531527),
+                    seed_ref[0, 1] ^ (t * jnp.int32(40503) + jnp.int32(1)))
 
         def ln(x, scale, bias):
             mu = jnp.mean(x, axis=-1, keepdims=True)
@@ -218,6 +222,34 @@ def _make_kernel(depth, n, heads, hd, width, blocks, block_len, patterns,
             else:
                 hist_chunk_dma(j, 0, 0).wait()
                 hist_chunk_dma(j, 1, 0).wait()
+
+        # Col-pattern reads get the same cross-layer prefetch treatment
+        # (VERDICT r2 #2): the column slice kc[li, :, i] depends only on i —
+        # known at kernel entry — so both buffered col jobs start before any
+        # layer computes, and each consumed slot immediately refills for job
+        # c+2.  The r2 kernel start/waited these inline, serializing an HBM
+        # round-trip against compute once per col layer per tile.  The
+        # current position's entry (b, i) inside the slice may race this
+        # step's cache write, but col masks blocks >= b so either value is
+        # correct; blocks beyond b are unwritten and equally masked.
+        col_jobs = [(li, ti) for li in range(depth)
+                    if patterns[li] == 1 for ti in range(lane_tiles)]
+
+        def col_dma(c, part):
+            li_c, ti_c = col_jobs[c]
+            slot = c % 2
+            src = (kc_ref if part == 0 else vc_ref).at[
+                li_c, :, pl.ds(i, 1), :, pl.ds(ti_c * nh_t, nh_t)]
+            dst = (kcol_ref if part == 0 else vcol_ref).at[slot]
+            return pltpu.make_async_copy(src, dst, col_sems.at[slot, part])
+
+        def col_start(c):
+            col_dma(c, 0).start()
+            col_dma(c, 1).start()
+
+        for c in range(min(2, len(col_jobs))):
+            col_start(c)
+        cidx = 0
 
         for j in range(min(2, len(hist_jobs))):
             hist_start(j)
@@ -331,19 +363,12 @@ def _make_kernel(depth, n, heads, hd, width, blocks, block_len, patterns,
                     if jidx + 2 < len(hist_jobs):
                         hist_start(jidx + 2)
                     jidx += 1
-                else:  # col: column i across all blocks
-                    rk = pltpu.make_async_copy(
-                        kc_ref.at[li, :, pl.ds(i, 1), :, pl.ds(ts, nh_t)],
-                        kcol_ref, aux_sems.at[0])
-                    rv = pltpu.make_async_copy(
-                        vc_ref.at[li, :, pl.ds(i, 1), :, pl.ds(ts, nh_t)],
-                        vcol_ref, aux_sems.at[1])
-                    rk.start()
-                    rv.start()
-                    rk.wait()
-                    rv.wait()
-                    k_hist = kcol_ref[:, 0]                 # (blocks, hd, nh_t)
-                    v_hist = vcol_ref[:, 0]
+                else:  # col: column i across all blocks (prefetched)
+                    cslot = cidx % 2
+                    col_dma(cidx, 0).wait()
+                    col_dma(cidx, 1).wait()
+                    k_hist = kcol_ref[cslot, :, 0]          # (blocks, hd, nh_t)
+                    v_hist = vcol_ref[cslot, :, 0]
                     logits = jnp.sum(k_hist * jnp.expand_dims(q_s, 0), axis=1) * inv_sqrt_hd
                     logits = jnp.where(blk_ids < b, logits, neg)
                     full = jnp.concatenate([logits, logit_cur], axis=0)
@@ -352,6 +377,10 @@ def _make_kernel(depth, n, heads, hd, width, blocks, block_len, patterns,
                         jax.lax.slice_in_dim(w, 0, blocks, axis=0), 1)
                     w_cur = jax.lax.slice_in_dim(w, blocks, blocks + 1, axis=0)
                     attn_t = jnp.sum(w_hist * v_hist, axis=0) + w_cur * v_s
+                    # This job's slot is consumed — refill it for job c+2.
+                    if cidx + 2 < len(col_jobs):
+                        col_start(cidx + 2)
+                    cidx += 1
                 attn_tiles.append(attn_t)
 
             attn = (attn_tiles[0] if lane_tiles == 1
@@ -434,7 +463,7 @@ def _auto_lane_tiles(nh: int, block_len: int, hd: int, cache_bytes: int,
     static_argnames=("depth", "n", "heads", "hd", "width", "blocks",
                      "block_len", "patterns", "interpret", "lane_tiles"))
 def fused_decode_step(
-    scalars: jnp.ndarray,   # (1, 4) int32: [t, b, i, 0]
+    scalars: jnp.ndarray,   # (1, 1) int32: [t] (b, i derived in-kernel)
     x: jnp.ndarray,         # (N, width) f32
     uc: jnp.ndarray,        # (depth, N, 2, width) f32
     kc: jnp.ndarray,        # (depth, blocks, block_len, hd, N*H), f32 or bf16
@@ -480,14 +509,15 @@ def fused_decode_step(
         scratch_shapes=[
             pltpu.VMEM((2, block_len, hd, nh_t), cache_dtype),  # khist (2 slots)
             pltpu.VMEM((2, block_len, hd, nh_t), cache_dtype),  # vhist (2 slots)
-            pltpu.VMEM((blocks, 1, hd, nh_t), cache_dtype),     # kcol
-            pltpu.VMEM((blocks, 1, hd, nh_t), cache_dtype),     # vcol
+            pltpu.VMEM((2, blocks, 1, hd, nh_t), cache_dtype),  # kcol (2 slots)
+            pltpu.VMEM((2, blocks, 1, hd, nh_t), cache_dtype),  # vcol (2 slots)
             pltpu.VMEM((1, 1, hd, nh), cache_dtype),           # kt staging
             pltpu.VMEM((1, 1, hd, nh), cache_dtype),           # vt staging
             pltpu.VMEM((block_len, nh_t), jnp.float32),        # row logits
             pltpu.VMEM((hd, nh_t), jnp.float32),               # row attn acc
             pltpu.SemaphoreType.DMA((2, 2, 4)),                # hist chunk sems
-            pltpu.SemaphoreType.DMA((3,)),                     # col k/v + stream
+            pltpu.SemaphoreType.DMA((2, 2)),                   # col slot sems
+            pltpu.SemaphoreType.DMA((1,)),                     # stream sem
             pltpu.SemaphoreType.DMA((depth, 2)),               # write sems
         ],
         interpret=_interp(interpret),
@@ -511,7 +541,8 @@ def _interp(interpret):
                      "block_len", "patterns", "mode", "interpret",
                      "lane_tiles"))
 def fused_decode_step_sample(
-    scalars: jnp.ndarray,   # (1, 6) int32: [t, b, i, 0, seed0, seed1]
+    scalars: jnp.ndarray,   # (1, 1) int32: [t] (b, i derived in-kernel)
+    seeds: jnp.ndarray,     # (1, 2) int32 PRNG seeds (scan-invariant)
     x: jnp.ndarray,         # (N, width) f32 — position t's input embedding
     uc: jnp.ndarray,        # (depth, N, 2, width) f32
     kc: jnp.ndarray,        # (depth, blocks, block_len, hd, N*H), f32 or bf16
@@ -560,7 +591,7 @@ def fused_decode_step_sample(
 
     out = pl.pallas_call(
         kernel,
-        in_specs=([smem, vmem, vmem, any_spec, any_spec] + [vmem] * 10
+        in_specs=([smem, smem, vmem, vmem, any_spec, any_spec] + [vmem] * 10
                   + [vmem, vmem, vmem, any_spec]),
         out_specs=[vmem, vmem, vmem, any_spec, any_spec],
         out_shape=[
@@ -570,24 +601,25 @@ def fused_decode_step_sample(
             jax.ShapeDtypeStruct(kc.shape, cache_dtype),
             jax.ShapeDtypeStruct(vc.shape, cache_dtype),
         ],
-        # uc/kc/vc are updated in place: inputs 2,3,4 -> outputs 2,3,4.
-        input_output_aliases={2: 2, 3: 3, 4: 4},
+        # uc/kc/vc are updated in place: inputs 3,4,5 -> outputs 2,3,4.
+        input_output_aliases={3: 2, 4: 3, 5: 4},
         scratch_shapes=[
             pltpu.VMEM((2, block_len, hd, nh_t), cache_dtype),  # khist (2 slots)
             pltpu.VMEM((2, block_len, hd, nh_t), cache_dtype),  # vhist (2 slots)
-            pltpu.VMEM((blocks, 1, hd, nh_t), cache_dtype),     # kcol
-            pltpu.VMEM((blocks, 1, hd, nh_t), cache_dtype),     # vcol
+            pltpu.VMEM((2, blocks, 1, hd, nh_t), cache_dtype),  # kcol (2 slots)
+            pltpu.VMEM((2, blocks, 1, hd, nh_t), cache_dtype),  # vcol (2 slots)
             pltpu.VMEM((1, 1, hd, nh), cache_dtype),           # kt staging
             pltpu.VMEM((1, 1, hd, nh), cache_dtype),           # vt staging
             pltpu.VMEM((1, n_stream, width), jnp.float32),     # stream slice
             pltpu.VMEM((block_len, nh_t), jnp.float32),        # row logits
             pltpu.VMEM((hd, nh_t), jnp.float32),               # row attn acc
             pltpu.SemaphoreType.DMA((2, 2, 4)),                # hist chunk sems
-            pltpu.SemaphoreType.DMA((3,)),                     # col k/v + stream
+            pltpu.SemaphoreType.DMA((2, 2)),                   # col slot sems
+            pltpu.SemaphoreType.DMA((1,)),                     # stream sem
             pltpu.SemaphoreType.DMA((depth, 2)),               # write sems
         ],
         interpret=_interp(interpret),
         compiler_params=(pltpu.CompilerParams(has_side_effects=True)
                          if _HAS_PLTPU and not interpret else None),
-    )(scalars, x, uc, kc, vc, *weights, head_k, head_b, emb, stream)
+    )(scalars, seeds, x, uc, kc, vc, *weights, head_k, head_b, emb, stream)
     return out
