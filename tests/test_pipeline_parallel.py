@@ -86,3 +86,90 @@ def test_stack_unstack_roundtrip():
         lambda a, b: np.testing.assert_array_equal(np.asarray(a),
                                                    np.asarray(b)),
         {f"layer_{i}": params[f"layer_{i}"] for i in range(DEPTH)}, back)
+
+
+def _prior_setup():
+    import optax
+
+    from vae_music_tpu.configs import PriorConfig, VQVAEConfig
+    from vae_music_tpu.models.vqvae import init_vqvae
+    from vae_music_tpu.train.prior_step import init_prior
+
+    vcfg = VQVAEConfig(
+        sample_length=512, levels=2, latent_dim=8, codebook_size=16,
+        down_depth=(3, 2), strides=(2, 2), residual_width=8, residual_depth=1,
+        dilation_factor=3, use_spectral_loss=False,
+    ).validate()
+    pcfg = PriorConfig(level=1, levels=2, bins=17, width=32, depth=DEPTH,
+                       heads=2, blocks=4, attn_stacks=1, dropout=0.0,
+                       genre_classes=10)
+    vq_params, cbs = init_vqvae(jax.random.PRNGKey(0), vcfg)
+    model, params = init_prior(jax.random.PRNGKey(1), vcfg, pcfg)
+    return vcfg, pcfg, vq_params, cbs, model, params, optax
+
+
+@pytest.mark.slow
+def test_pipeline_full_prior_forward_matches():
+    """VERDICT r2 #4: the COMPLETE prior (embedding + y_cond swap + pos +
+    logits head) pipelined over 4 stages == the ordinary FMHAPrior forward —
+    not just the bare transformer."""
+    from vae_music_tpu.parallel.pipeline import (
+        pipeline_prior_apply,
+        split_prior_params,
+    )
+
+    vcfg, pcfg, _vq, _cbs, model, params, _optax = _prior_setup()
+    ctx = vcfg.z_lengths[1]
+    tokens = jax.random.randint(jax.random.PRNGKey(2), (8, ctx), 0, 16)
+    y = jnp.arange(8, dtype=jnp.int32) % 10
+    y_cond = model.apply(params, y, method=type(model).embed_labels)
+    ref, _ = model.apply(params, tokens, None, y_cond, train=False)
+
+    mesh = Mesh(np.array(jax.devices()[:4]), ("pipe",))
+    split = split_prior_params(params, DEPTH)
+    out = pipeline_prior_apply(pcfg, ctx, split, tokens, None, y_cond,
+                               mesh=mesh, n_microbatches=4)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.slow
+def test_pipeline_prior_train_step_matches_single_device():
+    """PP TRAIN step (split/pipe-sharded layer stack, scheduled sampling)
+    == the single-device step: loss and every updated parameter."""
+    from vae_music_tpu.parallel.pipeline import (
+        make_prior_train_step_pp,
+        merge_prior_params,
+        split_prior_params,
+    )
+    from vae_music_tpu.train.prior_step import make_prior_train_step
+    from vae_music_tpu.train.state import PriorTrainState
+
+    vcfg, pcfg, vq_params, cbs, model, params, optax = _prior_setup()
+    audio = jax.random.normal(jax.random.PRNGKey(3),
+                              (8, vcfg.sample_length, 1))
+    labels = jnp.arange(8, dtype=jnp.int32) % 10
+    rng = jax.random.PRNGKey(4)
+    tx = optax.sgd(1e-2)   # sign-stable vs Adam (see test_sp_prior.py)
+
+    ref_step = make_prior_train_step(vcfg, pcfg, vq_params, cbs, donate=False)
+    ref_state, ref_m = ref_step(PriorTrainState.create(params, tx),
+                                audio, labels, rng)
+
+    mesh = Mesh(np.array(jax.devices()[:4]), ("pipe",))
+    pp_step = make_prior_train_step_pp(vcfg, pcfg, vq_params, cbs, mesh=mesh,
+                                       n_microbatches=4, donate=False)
+    split0 = split_prior_params(params, DEPTH)
+    pp_state, pp_m = pp_step(PriorTrainState.create(split0, tx),
+                             audio, labels, rng)
+
+    np.testing.assert_allclose(float(pp_m["loss"]), float(ref_m["loss"]),
+                               rtol=1e-5)
+    merged = merge_prior_params(pp_state.params, DEPTH)
+    flat_ref = jax.tree_util.tree_leaves_with_path(ref_state.params)
+    flat_pp = jax.tree_util.tree_leaves(merged)
+    assert len(flat_ref) == len(flat_pp)
+    for (path, a), b in zip(flat_ref, flat_pp):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5,
+            err_msg=jax.tree_util.keystr(path))

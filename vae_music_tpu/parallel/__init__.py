@@ -6,8 +6,16 @@ from vae_music_tpu.parallel.input import (
 )
 from vae_music_tpu.parallel.sharding import prior_param_sharding, shard_pytree
 from vae_music_tpu.parallel.ring_attention import sequence_parallel_attention
+from vae_music_tpu.parallel.sp_prior import (
+    make_prior_train_step_sp,
+    make_sp_prior_forward,
+)
 from vae_music_tpu.parallel.pipeline import (
+    make_prior_train_step_pp,
+    merge_prior_params,
+    pipeline_prior_apply,
     pipeline_transformer_apply,
+    split_prior_params,
     stack_layer_params,
     unstack_layer_params,
 )

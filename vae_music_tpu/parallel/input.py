@@ -40,13 +40,22 @@ def host_local_slice(n_examples: int, seed: int, epoch: int) -> np.ndarray:
 
     Every host seeds the same RNG, so the permutation is identical
     everywhere; each takes its ``process_index``-th contiguous chunk —
-    together they cover the epoch exactly once.
+    together they cover the epoch exactly once.  When ``n_examples`` is not
+    divisible by the process count, the permutation WRAPS (cyclic repeat)
+    so that every process still yields the same ceil-divided number of rows
+    (collective-safe) and every example appears at least once per epoch; the
+    trailing chunks then contain a few duplicates from the front of the
+    permutation.  (r2 behaviour silently dropped the remainder every epoch —
+    ADVICE r2; the chosen semantics are pinned by
+    tests/test_multichip.py::test_host_local_slice_covers_remainder.)
     """
     perm = np.random.default_rng((seed, epoch)).permutation(n_examples)
     n_proc = jax.process_count()
-    per = n_examples // n_proc
+    per = -(-n_examples // n_proc)      # ceil: equal rows on every process
     i = jax.process_index()
-    return perm[i * per : (i + 1) * per]
+    if n_examples % n_proc == 0:
+        return perm[i * per:(i + 1) * per]
+    return np.resize(perm, per * n_proc)[i * per:(i + 1) * per]
 
 
 def put_global_batch(batch, sharding, *,

@@ -143,3 +143,243 @@ def pipeline_transformer_apply(
                    **{_REP_KWARG: False})
     xm = x.reshape(m, n // m, t, d)
     return fn(stacked_params, xm).reshape(n, t, d)
+
+
+# ---------------------------------------------------------------------------
+# Full-prior pipeline (VERDICT r2 #4): stage 0 owns embedding + conditioner
+# add, the last stage owns the logits head, composing into a trainable step.
+# ---------------------------------------------------------------------------
+
+
+def split_prior_params(params: dict, depth: int) -> dict:
+    """{'params': tree} -> {'stacked': (depth, ...) layer stack, 'rest': the
+    non-transformer leaves}.  ``stacked`` is what gets sharded over 'pipe';
+    ``rest`` (embedding/pos/head/conditioners) stays replicated."""
+    p = dict(params["params"])
+    tf_params = p.pop("transformer")
+    return {"stacked": stack_layer_params(tf_params, depth), "rest": p}
+
+
+def merge_prior_params(split: dict, depth: int) -> dict:
+    """Inverse of :func:`split_prior_params` (for model.apply / checkpoints)."""
+    p = dict(split["rest"])
+    p["transformer"] = unstack_layer_params(split["stacked"], depth)
+    return {"params": p}
+
+
+def pipeline_prior_apply(
+    prior_cfg,
+    ctx_len: int,
+    split_params: dict,      # split_prior_params(...) output
+    tokens: jnp.ndarray,     # (N, T) int32 (shifted-right inputs)
+    cond_stream=None,        # (N, T, width) pre-upsampled conditioning
+    y_cond=None,             # (N, 1, width) label embedding (position 0 swap)
+    *,
+    mesh: Mesh,
+    n_microbatches: int,
+    axis_name: str = "pipe",
+) -> jnp.ndarray:
+    """The COMPLETE FMHAPrior forward (models/prior.py:99-118) pipelined over
+    ``mesh.shape[axis_name]`` stages: stage 0 embeds the injected microbatch
+    (token embedding x sqrt(d) + y_cond swap + positional + conditioning
+    add), every stage runs its layer shard, and the LAST stage applies the
+    logits head to each microbatch it drains.  Returns (N, T, bins) logits
+    (replicated).  dropout must be 0 (no per-stage RNG plumbing)."""
+    import flax.linen as nn
+
+    from vae_music_tpu.nn.positional import sinusoidal_encoding
+
+    c = prior_cfg
+    assert c.dropout == 0.0, "pipelined prior requires dropout=0"
+    n_stages = mesh.shape[axis_name]
+    depth = c.depth
+    assert depth % n_stages == 0
+    layers_per_stage = depth // n_stages
+    n, t = tokens.shape
+    assert t == ctx_len
+    m = n_microbatches
+    assert n % m == 0
+    mb = n // m
+    cycle = 2 if c.attn_stacks == 0 else 3
+    block_defs = [
+        ResidualAttnBlock(
+            ctx_len=ctx_len, num_heads=c.heads, d_model=c.width,
+            blocks=c.blocks, attn_func=f, m_attn=c.m_attn, m_mlp=c.m_mlp,
+            dropout=0.0)
+        for f in range(cycle)
+    ]
+    branch_fns = [
+        (lambda p, h, blk=blk: blk.apply({"params": p}, h, train=False))
+        for blk in block_defs
+    ]
+    sqrt_d = jnp.sqrt(jnp.float32(c.width))
+    has_cond = cond_stream is not None
+    has_y = y_cond is not None
+
+    def stage_body(stacked, rest, tok_m, *extra):
+        extra = list(extra)
+        cond_m = extra.pop(0) if has_cond else None   # (M, mb, T, width)
+        yc_m = extra.pop(0) if has_y else None        # (M, mb, 1, width)
+        stage = jax.lax.axis_index(axis_name)
+        perm = [(i, (i + 1) % n_stages) for i in range(n_stages)]
+
+        def embed_mb(step):
+            """Stage 0's ingest: the prior's input block (prior.py:109-115)."""
+            tk = jax.lax.dynamic_index_in_dim(tok_m, step, 0, keepdims=False)
+            x = nn.Embed(c.bins, c.width).apply(
+                {"params": rest["x_embedding"]}, tk)
+            if yc_m is not None:
+                yc = jax.lax.dynamic_index_in_dim(yc_m, step, 0,
+                                                  keepdims=False)
+                x = jnp.concatenate([yc.astype(x.dtype), x[:, 1:]], axis=1)
+            x = x * sqrt_d
+            if c.pos_emb:
+                x = x + rest["x_pos_embedding"]["embeddings"][:ctx_len]
+            else:
+                x = x + sinusoidal_encoding(ctx_len, c.width)[0]
+            if cond_m is not None:
+                x = x + jax.lax.dynamic_index_in_dim(
+                    cond_m, step, 0, keepdims=False).astype(x.dtype)
+            return x
+
+        def apply_stage(h):
+            def layer_step(hh, inp):
+                p_layer, j = inp
+                g = stage * layers_per_stage + j
+                hh = jax.lax.switch(g % cycle, branch_fns, p_layer, hh)
+                return hh, None
+            h, _ = jax.lax.scan(layer_step, h,
+                                (stacked, jnp.arange(layers_per_stage)))
+            return h
+
+        def head(h):
+            """Last stage's drain: the logits head (prior.py:118)."""
+            return nn.Dense(c.bins).apply({"params": rest["out"]}, h)
+
+        def tick(carry, step):
+            state, out_acc = carry
+            inject = embed_mb(jnp.clip(step, 0, m - 1))
+            h_in = jnp.where(stage == 0, inject, state)
+            h_out = apply_stage(h_in)
+            widx = step - (n_stages - 1)
+            wc = jnp.clip(widx, 0, m - 1)
+            valid = jnp.logical_and(stage == n_stages - 1, widx >= 0)
+            logits_mb = head(h_out)
+            cur = jax.lax.dynamic_index_in_dim(out_acc, wc, 0, keepdims=False)
+            out_acc = jax.lax.dynamic_update_index_in_dim(
+                out_acc, jnp.where(valid, logits_mb, cur), wc, 0)
+            state = jax.lax.ppermute(h_out, axis_name, perm)
+            return (state, out_acc), None
+
+        carry = (jnp.zeros((mb, t, c.width), jnp.float32),
+                 jnp.zeros((m, mb, t, c.bins), jnp.float32))
+        (_, out_acc), _ = jax.lax.scan(tick, carry,
+                                       jnp.arange(m + n_stages - 1))
+        out_acc = jax.lax.psum(
+            jnp.where(stage == n_stages - 1, out_acc,
+                      jnp.zeros_like(out_acc)), axis_name)
+        return out_acc
+
+    specs = [P(axis_name), P(), P()]
+    args = [split_params["stacked"], split_params["rest"],
+            tokens.reshape(m, mb, t)]
+    if has_cond:
+        specs.append(P())
+        args.append(cond_stream.reshape(m, mb, t, -1))
+    if has_y:
+        specs.append(P())
+        args.append(y_cond.reshape(m, mb, 1, -1))
+    fn = shard_map(stage_body, mesh=mesh, in_specs=tuple(specs),
+                   out_specs=P(), **{_REP_KWARG: False})
+    return fn(*args).reshape(n, t, c.bins)
+
+
+def make_prior_train_step_pp(
+    vqvae_cfg,
+    prior_cfg,
+    vqvae_params,
+    codebooks,
+    *,
+    mesh: Mesh,
+    n_microbatches: int,
+    axis_name: str = "pipe",
+    donate: bool = True,
+):
+    """Pipeline-parallel twin of train.prior_step.make_prior_train_step.
+
+    The train state's params are SPLIT (:func:`split_prior_params`): the
+    transformer layer stack is sharded over 'pipe' (each stage holds — and
+    its optimizer state tracks — only its own layers' weights), the
+    embedding/head/conditioner leaves are replicated.  Same semantics as the
+    single-device step (frozen encode, scheduled-sampling mix) at dropout=0;
+    tests/test_pipeline_parallel.py pins loss + updated params against it.
+    """
+    import optax
+
+    from vae_music_tpu.models.prior import (
+        FMHAPrior,
+        build_fmha_prior,
+        level_spec,
+        shift_right_with_start,
+        token_accuracy,
+        token_loss,
+    )
+    from vae_music_tpu.models.vqvae import vqvae_encode
+
+    model = build_fmha_prior(vqvae_cfg, prior_cfg)
+    level = prior_cfg.level
+    levels = vqvae_cfg.levels
+    conditioned = prior_cfg.conditioner is not None
+    start_token = prior_cfg.bins - 1
+    tf_rate = prior_cfg.teacher_force_rate
+    depth = prior_cfg.depth
+    ctx_len = level_spec(vqvae_cfg, level).ctx_len
+
+    def train_step(state, audio, labels, rng):
+        """``state.params`` is a split tree ({'stacked','rest'})."""
+        step_rng = jax.random.fold_in(rng, state.step)
+        tf_rng, _d1, _d2 = jax.random.split(step_rng, 3)
+
+        zs = vqvae_encode(vqvae_params, codebooks, vqvae_cfg, audio, level,
+                          levels)
+        codes = zs[0]
+        target = codes
+        latent_input = shift_right_with_start(codes, start_token)
+
+        def forward(split, tok):
+            # label/conditioner nets live in 'rest' — applying via the rest
+            # subtree alone avoids gathering the pipe-sharded layer stack.
+            rest_vars = {"params": split["rest"]}
+            yc = (model.apply(rest_vars, labels,
+                              method=FMHAPrior.embed_labels)
+                  if labels is not None else None)
+            cs = (model.apply(rest_vars, zs[1],
+                              method=FMHAPrior.upsample_cond)
+                  if conditioned else None)
+            return pipeline_prior_apply(
+                prior_cfg, ctx_len, split, tok, cs, yc, mesh=mesh,
+                n_microbatches=n_microbatches, axis_name=axis_name)
+
+        def loss_fn(split):
+            logits1 = forward(split, latent_input)
+            pred = jnp.argmax(logits1, axis=-1)
+            pred_input = shift_right_with_start(pred, start_token)
+            mix = jnp.where(
+                jax.random.uniform(tf_rng, pred_input.shape) < tf_rate,
+                pred_input, latent_input)
+            logits = forward(split, jax.lax.stop_gradient(mix))
+            return token_loss(target, logits), logits
+
+        (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params)
+        updates, new_opt = state.tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        metrics = {
+            "loss": loss,
+            "perplexity": jnp.exp(loss),
+            "accuracy": token_accuracy(target, logits),
+        }
+        return state.replace(step=state.step + 1, params=new_params,
+                             opt_state=new_opt), metrics
+
+    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
