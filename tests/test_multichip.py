@@ -155,3 +155,28 @@ def test_sharded_serving_chain_unlabeled():
     wav = fn(jax.random.PRNGKey(1))
     assert wav.shape == (8, vcfg.sample_length, 1)
     assert np.isfinite(np.asarray(wav)).all()
+
+
+def test_host_local_slice_covers_remainder(monkeypatch):
+    """Pin the non-divisible-epoch semantics (ADVICE r2: the remainder was
+    silently dropped): with n_examples % process_count != 0 every process
+    still yields ceil(n/p) rows, the union covers every example at least
+    once, and duplicates come from the front of the shared permutation."""
+    from vae_music_tpu.parallel import input as pin
+
+    n, n_proc = 103, 8
+    monkeypatch.setattr(jax, "process_count", lambda: n_proc)
+    per = -(-n // n_proc)
+    chunks = []
+    for i in range(n_proc):
+        monkeypatch.setattr(jax, "process_index", lambda i=i: i)
+        sl = pin.host_local_slice(n, seed=7, epoch=3)
+        assert sl.shape == (per,)          # equal rows -> collective-safe
+        chunks.append(sl)
+    seen = np.concatenate(chunks)
+    assert sorted(set(seen.tolist())) == list(range(n))   # full coverage
+    assert len(seen) == per * n_proc                      # 1 dup per tail row
+    # identical permutation on every "host": chunks are reproducible
+    monkeypatch.setattr(jax, "process_index", lambda: 0)
+    np.testing.assert_array_equal(chunks[0],
+                                  pin.host_local_slice(n, seed=7, epoch=3))

@@ -159,6 +159,23 @@ def test_random_sample_prefers_low_loss_and_rejects_degenerate():
     assert frac < 0.9
 
 
+def test_random_sample_all_degenerate_returns_inf_loss():
+    """When every candidate fails the degeneracy gate the fallback tokens
+    come back with loss == inf so callers can DETECT the failure (ADVICE r2:
+    the raw pre-rejection loss looked like a successful search)."""
+    model = MHAAutoregressive(bins=17, width=32, depth=2, ctx_len=12,
+                              ffn_width=64, heads=2, dropout=0.0)
+    tokens = jnp.zeros((2, 12), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), tokens)
+    dec = make_dense_decode_fn(model, 4, mode=SampleMode.GUMBEL)
+    score = make_score_fn(model)
+    # token_freq=0.0 -> every candidate is "degenerate" by construction
+    best, best_loss = random_sample(dec, score, params, jax.random.PRNGKey(1),
+                                    bins=17, iterations=2, token_freq=0.0)
+    assert best.shape == (13,)
+    assert np.isinf(float(best_loss))
+
+
 def test_histogram_logging(tmp_path):
     """PriorMonitor(log_histograms=True) writes per-leaf weight AND gradient
     histograms (reference prior.py:306-316)."""

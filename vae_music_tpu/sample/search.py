@@ -42,18 +42,22 @@ def random_sample(
     iteration host sync; the only host transfer is the final result.  The
     reference's python-side compare loop (autoregressive_fmha.py:268-295)
     would serialize device/host on a TPU.
+
+    If EVERY candidate across every iteration fails the ``token_freq``
+    degeneracy gate, the last iteration's raw best tokens are returned with
+    ``best_loss == inf`` — the masked loss, so callers can distinguish the
+    fallback from a successful search (``jnp.isfinite(best_loss)``) instead
+    of receiving a normal-looking finite loss for a rejected sequence
+    (ADVICE r2).
     """
     best = None
     best_loss = jnp.float32(jnp.inf)
     last_best = None          # fallback if every candidate is degenerate
-    last_best_loss = None
     for _ in range(iterations):
         rng, step = jax.random.split(rng)
         tokens = decode_fn(params, step, *decode_args)
         losses = score_fn(params, tokens)                     # (N,)
-        raw_idx = jnp.argmin(losses)
-        last_best = tokens[raw_idx]
-        last_best_loss = losses[raw_idx]
+        last_best = tokens[jnp.argmin(losses)]
         # Reject degenerate candidates (single token >= token_freq of seq).
         frac = token_mode_fraction(tokens[:, 1:], bins)
         losses = jnp.where(frac >= token_freq, jnp.inf, losses)
@@ -66,7 +70,7 @@ def random_sample(
             best = jnp.where(better, cand, best)
             best_loss = jnp.minimum(cand_loss, best_loss)
     if not jnp.isfinite(float(best_loss)):  # all degenerate: last batch's best
-        return last_best, last_best_loss
+        return last_best, best_loss         # inf loss marks the fallback
     return best, best_loss
 
 
