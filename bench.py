@@ -103,6 +103,20 @@ def main():
     audio_seconds = n_samples * vcfg.sample_length / SAMPLE_RATE
     clips_per_sec = audio_seconds / gen_dt
 
+    # Batch 512 (auto-chunked into sweet-spot chains by compile_chain, r3):
+    # throughput must be monotone in batch size — the r2 single-scan 512
+    # program regressed to 32.6k clips/s.
+    y512 = jnp.zeros((512,), jnp.int32)
+    chain512 = sampler.compile_chain(512)
+    wav512 = chain512(jax.random.PRNGKey(1), y512)
+    _ = float(jnp.sum(wav512))
+    t0 = time.time()
+    for i in range(iters):
+        wav512 = chain512(jax.random.PRNGKey(2 + i), y512)
+    _ = float(jnp.sum(wav512))
+    dt512 = (time.time() - t0) / iters
+    clips_512 = 512 * vcfg.sample_length / SAMPLE_RATE / dt512
+
     # MFU / roofline for the whole chain (XLA's own cost model).
     flops, hbm_bytes = _cost_analysis(chain.lower(jax.random.PRNGKey(1), y)
                                       .compile())
@@ -209,6 +223,8 @@ def main():
             "mfu_vs_bf16_peak": round(mfu, 4) if mfu is not None else None,
             "hbm_bw_utilization": (round(hbm_util, 4)
                                    if hbm_util is not None else None),
+            "clips_per_sec_b512_chunked": round(clips_512, 1),
+            "b512_over_b256": round(clips_512 / clips_per_sec, 3),
             "encode_tokens_per_sec": round(tokens_per_sec),
             "encode_tokens_per_sec_xla": round(tokens_per_sec_xla),
             "encode_tokens_per_sec_bf16": round(tokens_per_sec_bf16),

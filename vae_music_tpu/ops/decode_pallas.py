@@ -63,6 +63,39 @@ except Exception:  # pragma: no cover
 LANE = 128
 
 
+def kth_largest_threshold(scores: jnp.ndarray, k: int) -> jnp.ndarray:
+    """(N, B) f32 -> (N, 1) the k-th largest value per row, EXACTLY.
+
+    Sort-free: 32-step bisection on the monotonic-int image of the floats
+    (IEEE f32 bit patterns with the sign handled via ``s ^ 0x7fffffff`` for
+    negatives order like integers), counting ``scores >= mid`` per row.  The
+    count is a cheap lane reduction, so the whole search is ~32 compare+sum
+    passes with no data-dependent control flow — Mosaic- and jit-friendly,
+    used by the fused decode kernel's in-kernel top-k (VERDICT r2 #6: "top-k
+    needs only the k-th largest score per lane ... threshold refine").
+
+    Matches ``jnp.sort(scores, axis=-1)[:, -k, None]`` bit-for-bit for
+    finite inputs (tie semantics included: masking ``scores >= kth`` keeps
+    ties, exactly like sample/decode.py's XLA top-k path).
+    """
+    n = scores.shape[0]
+    s = jax.lax.bitcast_convert_type(scores, jnp.int32)
+    key = jnp.where(s < 0, s ^ jnp.int32(0x7FFFFFFF), s)     # monotonic
+    kf = jnp.float32(k)
+    lo = jnp.full((n, 1), jnp.iinfo(jnp.int32).min, jnp.int32)
+    hi = jnp.full((n, 1), jnp.iinfo(jnp.int32).max, jnp.int32)
+    for _ in range(32):
+        # overflow-safe floor average of two int32s
+        mid = (lo >> 1) + (hi >> 1) + (lo & hi & 1)
+        cnt = jnp.sum((key >= mid).astype(jnp.float32), axis=1,
+                      keepdims=True)
+        ok = cnt >= kf           # invariant: count_ge(lo) >= k > count_ge(hi)
+        lo = jnp.where(ok, mid, lo)
+        hi = jnp.where(ok, hi, mid)
+    back = jnp.where(lo < 0, lo ^ jnp.int32(0x7FFFFFFF), lo)
+    return jax.lax.bitcast_convert_type(back, jnp.float32)
+
+
 def decode_pallas_available(n_samples: int = LANE, heads: int = 1) -> bool:
     # TPU-only kernel; TPU plugin backends report names like 'axon', so
     # exclude the known non-TPU backends rather than matching 'tpu'.
@@ -131,7 +164,7 @@ def _make_kernel(depth, n, heads, hd, width, blocks, block_len, patterns,
                 stream_ref.at[pl.ds(t + 1, 1)], stream_scratch,
                 aux_sems.at[0])
             stream_dma.start()
-            if sample["mode"] == "gumbel":
+            if sample["mode"] in ("gumbel", "top_k"):
                 # Per-step stream: Mosaic takes at most two seed words, so
                 # fold t in via golden-ratio mixing (int32 wraparound is fine).
                 pltpu.prng_seed(
@@ -409,7 +442,14 @@ def _make_kernel(depth, n, heads, hd, width, blocks, block_len, patterns,
         # argmax can never select a padded bin.
         scores = (jnp.dot(x, head_k_ref[:], preferred_element_type=jnp.float32)
                   + head_b_ref[0])
-        if sample["mode"] == "gumbel":
+        if sample["mode"] == "top_k":
+            # Exact k-th-largest threshold by int-bisection (no sort), then
+            # mask to the top-k set — identical tie semantics to the XLA
+            # path's sort-based kth (sample/decode.py:77-79) — and fall
+            # through to Gumbel-max over the survivors.
+            kth = kth_largest_threshold(scores, sample["top_k"])
+            scores = jnp.where(scores < kth, jnp.float32(-1e9), scores)
+        if sample["mode"] in ("gumbel", "top_k"):
             bits = pltpu.bitcast(pltpu.prng_random_bits(scores.shape),
                                  jnp.uint32)
             # top 24 bits -> u in (0, 1); Mosaic lacks uint32->f32, but after
@@ -538,7 +578,7 @@ def _interp(interpret):
 @functools.partial(
     jax.jit,
     static_argnames=("depth", "n", "heads", "hd", "width", "blocks",
-                     "block_len", "patterns", "mode", "interpret",
+                     "block_len", "patterns", "mode", "top_k", "interpret",
                      "lane_tiles"))
 def fused_decode_step_sample(
     scalars: jnp.ndarray,   # (1, 1) int32: [t] (b, i derived in-kernel)
@@ -555,7 +595,8 @@ def fused_decode_step_sample(
     *,
     depth: int, n: int, heads: int, hd: int, width: int,
     blocks: int, block_len: int, patterns: Tuple[int, ...],
-    mode: str = "gumbel",   # 'gumbel' | 'greedy'
+    mode: str = "gumbel",   # 'gumbel' | 'greedy' | 'top_k'
+    top_k: int = 0,         # for mode='top_k': sample among the k best bins
     interpret=False,        # False | True | "tpu" (see _interp)
     lane_tiles: int = 0,
 ):
@@ -584,7 +625,7 @@ def fused_decode_step_sample(
                           patterns, cache_dtype=cache_dtype,
                           lane_tiles=lane_tiles,
                           sample={"mode": mode, "bins_p": bins_p,
-                                  "n_stream": n_stream})
+                                  "n_stream": n_stream, "top_k": top_k})
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)

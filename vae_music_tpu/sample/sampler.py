@@ -263,14 +263,60 @@ class AncestralSampler:
                                     overlap_frac, y_genre)
         return self._vq_decoder(0)(self.vqvae_params, self.codebooks, zs[0])
 
-    def compile_chain(self, n_samples: int, with_labels: bool = True):
+    # Measured serving sweet spot on v5e (BENCH_r03): per-clip throughput
+    # peaks at batch 256 — the decode kernel is HBM-bandwidth-bound there, so
+    # larger single-scan batches only grow the per-step working set (more
+    # lane tiles, more VMEM pressure) without more overlap: 512-in-one-scan
+    # measured 34.9k clips/s vs 41.6k at 256.
+    BATCH_CHUNK = 256
+
+    def compile_chain(self, n_samples: int, with_labels: bool = True,
+                      batch_chunk: Optional[int] = None):
         """Build ONE jitted end-to-end program for the whole ancestral chain
         (top sample -> upsample cond -> ... -> VQ decode): a single XLA
         executable for serving, no inter-stage dispatch.
 
         Returns fn(rng[, y_genre]) -> waveform (N, T, C); prior/VQ-VAE params
         are closed over as compile-time constants.
+
+        Batches beyond the measured sweet spot (``batch_chunk``, default
+        ``BATCH_CHUNK``; pass 0 to disable) run as a ``lax.map`` over
+        sweet-spot-sized chunks inside the same jitted program, so per-clip
+        throughput is monotone in batch size instead of degrading once the
+        decode working set outgrows VMEM.  Chunks draw independent RNG
+        streams (a chunked batch is NOT sample-identical to an unchunked
+        one at the same seed).
         """
+        from vae_music_tpu.sample.decode import make_decode_fn
+
+        import dataclasses
+
+        chunk = self.BATCH_CHUNK if batch_chunk is None else batch_chunk
+        if chunk and n_samples > chunk and n_samples % chunk == 0:
+            inner = self._chain_body(chunk, with_labels)
+            n_chunks = n_samples // chunk
+
+            def chunked(rng, y_genre=None):
+                rngs = jax.random.split(rng, n_chunks)
+                if y_genre is None:
+                    wav = jax.lax.map(lambda r: inner(r, None), rngs)
+                else:
+                    wav = jax.lax.map(
+                        lambda rv: inner(rv[0], rv[1]),
+                        (rngs, y_genre.reshape(n_chunks, chunk)))
+                return wav.reshape((n_samples,) + wav.shape[2:])
+
+            if with_labels:
+                return jax.jit(chunked)
+            return jax.jit(lambda rng: chunked(rng, None))
+
+        chain = self._chain_body(n_samples, with_labels)
+        if with_labels:
+            return jax.jit(chain)
+        return jax.jit(lambda rng: chain(rng, None))
+
+    def _chain_body(self, n_samples: int, with_labels: bool = True):
+        """The un-jitted single-chunk chain closure (see compile_chain)."""
         from vae_music_tpu.sample.decode import make_decode_fn
 
         import dataclasses
@@ -318,9 +364,7 @@ class AncestralSampler:
             return vqvae_decode(vq_params, codebooks, cfg, zs[0], 0).astype(
                 jnp.float32)
 
-        if with_labels:
-            return jax.jit(chain)
-        return jax.jit(lambda rng: chain(rng, None))
+        return chain
 
     def compile_chain_sharded(self, n_samples: int, mesh, axis: str = "data",
                               with_labels: bool = True):
