@@ -102,9 +102,10 @@ def breakdown(name: str):
     vq_name, batch = SETUPS[name]
     vcfg = get_config(vq_name)
     pcfg = get_config(name)
+    print(f"== {name} (batch {batch}) ==", flush=True)
     vq_params, cbs = init_vqvae(jax.random.PRNGKey(0), vcfg)
     model, params = init_prior(jax.random.PRNGKey(1), vcfg, pcfg)
-    print(f"== {name} (batch {batch}) ==", flush=True)
+    print("  init done", flush=True)
 
     audio = jax.random.normal(jax.random.PRNGKey(2),
                               (batch, vcfg.sample_length, 1)) * 0.1

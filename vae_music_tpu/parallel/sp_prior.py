@@ -35,9 +35,6 @@ like the serving path (sample/decode.py upsamples before the token loop).
 """
 
 from __future__ import annotations
-
-from typing import Optional
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
