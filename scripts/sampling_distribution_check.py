@@ -57,8 +57,8 @@ def main():
     y_cond = sampler._label_embedder(level)(params,
                                             jnp.zeros((batch,), jnp.int32))
 
-    def decode(mode, sik, key):
-        fn = make_decode_fn(pcfg, spec.ctx_len, batch, mode=mode,
+    def decode(mode, sik, key, top_k=0):
+        fn = make_decode_fn(pcfg, spec.ctx_len, batch, mode=mode, top_k=top_k,
                             cache_dtype="bfloat16", sample_in_kernel=sik)
         return np.asarray(fn(params, key, None, y_cond))[:, 1:]
 
@@ -78,7 +78,19 @@ def main():
     print(f"mean per-position TV, kernel-vs-xla:            {cross:.4f}")
     assert greedy_equal
     assert cross < 1.5 * noise + 0.02, (cross, noise)
-    print("PASS: in-kernel sampling matches the threefry path in distribution")
+
+    # 3) Top-k (r3 in-kernel threshold bisection): distributional comparison
+    #    vs the XLA sort-based top-k fallback.
+    t1 = decode(SampleMode.TOP_K, False, jax.random.PRNGKey(5), top_k=50)
+    t2 = decode(SampleMode.TOP_K, False, jax.random.PRNGKey(6), top_k=50)
+    tk = decode(SampleMode.TOP_K, True, jax.random.PRNGKey(7), top_k=50)
+    tk_noise = tv_per_position(t1, t2, pcfg.bins)
+    tk_cross = tv_per_position(t1, tk, pcfg.bins)
+    print(f"top-k=50 TV, xla-vs-xla (noise bound): {tk_noise:.4f}")
+    print(f"top-k=50 TV, kernel-vs-xla:            {tk_cross:.4f}")
+    assert tk_cross < 1.5 * tk_noise + 0.02, (tk_cross, tk_noise)
+    print("PASS: in-kernel sampling matches the threefry path in distribution"
+          " (gumbel + top-k)")
 
 
 if __name__ == "__main__":
