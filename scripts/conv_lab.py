@@ -38,7 +38,8 @@ from vae_music_tpu.nn.resnet import DilatedResnet1D
 
 
 def tap_matmul_resnet(params, x, *, depth, dilation_factor, dilation_cycle,
-                      width, compute_dtype=jnp.float32):
+                      width, compute_dtype=jnp.float32, precision=None,
+                      concat=False):
     """DilatedResnet1D forward with every Conv1D(k=3) expressed as three
     shifted matmuls ('SAME' centered padding like nn.Conv uses).
 
@@ -58,11 +59,18 @@ def tap_matmul_resnet(params, x, *, depth, dilation_factor, dilation_cycle,
             pad = jnp.zeros((t.shape[0], dil, t.shape[2]), t.dtype)
             tm = jnp.concatenate([pad, t[:, :-dil]], axis=1)
             tp = jnp.concatenate([t[:, dil:], pad], axis=1)
-            out = (jnp.dot(tm.astype(cd), k0.astype(cd),
+            if concat:
+                # one (T, 3C) x (3C, C') matmul instead of three
+                tc = jnp.concatenate([tm, t, tp], axis=-1).astype(cd)
+                kc = jnp.concatenate([k0, k1, k2], axis=0).astype(cd)
+                out = jnp.dot(tc, kc, precision=precision,
+                              preferred_element_type=jnp.float32)
+                return out + bias
+            out = (jnp.dot(tm.astype(cd), k0.astype(cd), precision=precision,
                            preferred_element_type=jnp.float32)
-                   + jnp.dot(t.astype(cd), k1.astype(cd),
+                   + jnp.dot(t.astype(cd), k1.astype(cd), precision=precision,
                              preferred_element_type=jnp.float32)
-                   + jnp.dot(tp.astype(cd), k2.astype(cd),
+                   + jnp.dot(tp.astype(cd), k2.astype(cd), precision=precision,
                              preferred_element_type=jnp.float32))
             return out + bias
 
@@ -114,12 +122,30 @@ def run_geometry(tag, n, t, width, depth, cycle, dtype):
         width=width, compute_dtype=jnp.bfloat16))
     dt_c = bench(tap16, params, x)
 
+    # D: exact-f32 taps (precision HIGHEST) — decides whether the f32 encode
+    # path can switch to taps without the default bf16-dot numerics drift.
+    tap_hi = jax.jit(lambda p, xx: tap_matmul_resnet(
+        p, xx, depth=depth, dilation_factor=3, dilation_cycle=cycle,
+        width=width, precision=jax.lax.Precision.HIGHEST))
+    err_hi = float(jnp.max(jnp.abs(ref.astype(jnp.float32)
+                                   - tap_hi(params, x).astype(jnp.float32))))
+    dt_d = bench(tap_hi, params, x)
+
+    # E: single concatenated (T,3C)x(3C,C') matmul per conv
+    tap_cat = jax.jit(lambda p, xx: tap_matmul_resnet(
+        p, xx, depth=depth, dilation_factor=3, dilation_cycle=cycle,
+        width=width, compute_dtype=(jnp.bfloat16 if dtype == "bfloat16"
+                                    else jnp.float32), concat=True))
+    dt_e = bench(tap_cat, params, x)
+
     for nm, dt in (("A_xla_conv", dt_a), ("B_tap_matmul", dt_b),
-                   ("C_tap_bf16", dt_c)):
+                   ("C_tap_bf16", dt_c), ("D_tap_f32_hi", dt_d),
+                   ("E_tap_concat", dt_e)):
         print(f"  {nm:14s} {dt*1e3:8.2f} ms  {flops/dt/1e12:6.1f} TF/s",
               flush=True)
-    print(f"  B-vs-A max err {err:.2e}   speedup B {dt_a/dt_b:.2f}x  "
-          f"C {dt_a/dt_c:.2f}x", flush=True)
+    print(f"  B-vs-A max err {err:.2e}  D-vs-A max err {err_hi:.2e}", flush=True)
+    print(f"  speedup B {dt_a/dt_b:.2f}x  C {dt_a/dt_c:.2f}x  "
+          f"D {dt_a/dt_d:.2f}x  E {dt_a/dt_e:.2f}x", flush=True)
 
 
 if __name__ == "__main__":

@@ -159,8 +159,13 @@ def breakdown(name: str):
     report("forward_full", _time(fwd, params),
            fwd.lower(params).compile())
 
-    # fwd+bwd
-    fb = jax.jit(lambda p: jax.value_and_grad(loss_fn)(p)[0])
+    # fwd+bwd — keep the grads live (returning only the loss would let XLA
+    # dead-code-eliminate the whole backward pass)
+    def fb_fn(p):
+        v, g = jax.value_and_grad(loss_fn)(p)
+        return v, jax.tree_util.tree_map(jnp.sum, g)
+
+    fb = jax.jit(fb_fn)
     report("forward_backward", _time(fb, params),
            fb.lower(params).compile())
 

@@ -206,10 +206,9 @@ def _full_pipeline() -> SamplerConfig:
 def _jukebox_small_prior() -> PriorConfig:
     # Production-scale geometry matching the Jukebox SMALL_PRIOR dump
     # (/root/reference/SMALL_PRIOR_model_structuree: width 1024, 48 blocks,
-    # Embedding(2048,1024), ~160-200M params).  bf16 + remat: trains at
-    # ~35k tokens/s / 35% MFU on one v5e chip (batch 4, ctx 8192,
-    # scripts/bench_train.py); shard 'model' for
-    # larger batches.
+    # Embedding(2048,1024), ~160-200M params).  bf16 + remat + tap convs:
+    # trains at ~44k tokens/s / 44% MFU on one v5e chip (batch 4, ctx 8192,
+    # scripts/bench_train.py); shard 'model' for larger batches.
     return PriorConfig(
         level=0, levels=1, bins=2049, width=1024, depth=48, heads=2,
         blocks=8, attn_stacks=1, dropout=0.0, genre_classes=None,

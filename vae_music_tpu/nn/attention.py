@@ -31,6 +31,8 @@ from typing import Optional, Tuple
 import flax.linen as nn
 import jax.numpy as jnp
 
+from vae_music_tpu.nn.resnet import TapConv3, default_conv_impl
+
 ROW, COL, PREV_ROW = 0, 1, 2
 PATTERN_NAMES = {ROW: "row", COL: "col", PREV_ROW: "prev_row"}
 
@@ -222,6 +224,10 @@ class FactorizedAttention(nn.Module):
     dtype: jnp.dtype = jnp.float32
     use_flash: bool = False  # measured slower than XLA at the flagship geo
                              # (see flash_ok docstring); opt-in for wider blocks
+    conv_impl: Optional[str] = None  # None = auto | 'tap' | 'conv' — the QKV
+                             # causal conv as three shifted matmuls on TPU
+                             # (nn/resnet.py module doc; it is ~half the
+                             # layer FLOPs at Jukebox width)
 
     @property
     def width(self) -> int:
@@ -241,8 +247,14 @@ class FactorizedAttention(nn.Module):
 
         # Single causal conv produces Q,K,V (:36); split then per-head
         # projections + output projection (keras MHA parametrization, :39-40).
-        qkv = nn.Conv(3 * w, (3,), padding="CAUSAL", dtype=self.dtype,
-                      name="qkv_conv")(x)
+        impl = self.conv_impl or default_conv_impl(self.dtype, self.d_model,
+                                                   3 * w)
+        if impl == "tap":
+            qkv = TapConv3(3 * w, padding="CAUSAL", dtype=self.dtype,
+                           name="qkv_conv")(x)
+        else:
+            qkv = nn.Conv(3 * w, (3,), padding="CAUSAL", dtype=self.dtype,
+                          name="qkv_conv")(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         q = nn.DenseGeneral((h, hd), dtype=self.dtype, name="q_proj")(q)
         k = nn.DenseGeneral((h, hd), dtype=self.dtype, name="k_proj")(k)
