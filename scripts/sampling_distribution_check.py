@@ -57,9 +57,10 @@ def main():
     y_cond = sampler._label_embedder(level)(params,
                                             jnp.zeros((batch,), jnp.int32))
 
-    def decode(mode, sik, key, top_k=0):
+    def decode(mode, sik, key, top_k=0, top_p=1.0):
         fn = make_decode_fn(pcfg, spec.ctx_len, batch, mode=mode, top_k=top_k,
-                            cache_dtype="bfloat16", sample_in_kernel=sik)
+                            top_p=top_p, cache_dtype="bfloat16",
+                            sample_in_kernel=sik)
         return np.asarray(fn(params, key, None, y_cond))[:, 1:]
 
     # 1) Greedy is RNG-free: kernel sampling must be token-exact vs XLA.
@@ -89,8 +90,19 @@ def main():
     print(f"top-k=50 TV, xla-vs-xla (noise bound): {tk_noise:.4f}")
     print(f"top-k=50 TV, kernel-vs-xla:            {tk_cross:.4f}")
     assert tk_cross < 1.5 * tk_noise + 0.02, (tk_cross, tk_noise)
+
+    # 4) Top-p (r3 in-kernel probability-mass bisection): distributional
+    #    comparison vs the XLA sort+cumsum nucleus fallback.
+    p1 = decode(SampleMode.TOP_P, False, jax.random.PRNGKey(8), top_p=0.92)
+    p2 = decode(SampleMode.TOP_P, False, jax.random.PRNGKey(9), top_p=0.92)
+    pk = decode(SampleMode.TOP_P, True, jax.random.PRNGKey(10), top_p=0.92)
+    tp_noise = tv_per_position(p1, p2, pcfg.bins)
+    tp_cross = tv_per_position(p1, pk, pcfg.bins)
+    print(f"top-p=.92 TV, xla-vs-xla (noise bound): {tp_noise:.4f}")
+    print(f"top-p=.92 TV, kernel-vs-xla:            {tp_cross:.4f}")
+    assert tp_cross < 1.5 * tp_noise + 0.02, (tp_cross, tp_noise)
     print("PASS: in-kernel sampling matches the threefry path in distribution"
-          " (gumbel + top-k)")
+          " (gumbel + top-k + top-p)")
 
 
 if __name__ == "__main__":

@@ -236,8 +236,10 @@ def test_top_p_sample_token():
 
 
 def test_top_p_decode_end_to_end():
-    """TOP_P mode through make_decode_fn: valid tokens, varies across seeds,
-    and is excluded from the in-kernel fast path by the auto-gate."""
+    """TOP_P mode through make_decode_fn: valid tokens, varies across seeds;
+    the in-kernel gate still rejects what the kernel can't do (logits
+    capture).  (r3: TOP_P itself is now in-kernel — tests/test_decode_topp.py
+    covers that path.)"""
     vcfg = _vqvae_cfg()
     pcfg = _prior_cfg(1)
     _, params = init_prior(jax.random.PRNGKey(1), vcfg, pcfg)
@@ -253,7 +255,8 @@ def test_top_p_decode_end_to_end():
 
     with _pytest.raises(AssertionError):
         make_decode_fn(pcfg, ctx, 2, mode=SampleMode.TOP_P, top_p=0.9,
-                       fused=True, fused_interpret=True, sample_in_kernel=True)
+                       fused=True, fused_interpret=True, sample_in_kernel=True,
+                       return_logits=True)
 
 
 @pytest.mark.slow

@@ -63,37 +63,75 @@ except Exception:  # pragma: no cover
 LANE = 128
 
 
-def kth_largest_threshold(scores: jnp.ndarray, k: int) -> jnp.ndarray:
-    """(N, B) f32 -> (N, 1) the k-th largest value per row, EXACTLY.
+def _bisect_ge_threshold(scores: jnp.ndarray,
+                         weights: jnp.ndarray,
+                         target: jnp.ndarray) -> jnp.ndarray:
+    """(N, B) f32 -> (N, 1): per row, the LARGEST element value ``v`` with
+    ``sum(weights * (scores >= v)) >= target``.
 
     Sort-free: 32-step bisection on the monotonic-int image of the floats
     (IEEE f32 bit patterns with the sign handled via ``s ^ 0x7fffffff`` for
-    negatives order like integers), counting ``scores >= mid`` per row.  The
-    count is a cheap lane reduction, so the whole search is ~32 compare+sum
-    passes with no data-dependent control flow — Mosaic- and jit-friendly,
-    used by the fused decode kernel's in-kernel top-k (VERDICT r2 #6: "top-k
-    needs only the k-th largest score per lane ... threshold refine").
+    negatives order like integers), reducing ``where(scores >= mid, w, 0)``
+    per row.  Each pass is a cheap compare+select+lane-reduction with no
+    data-dependent control flow — Mosaic- and jit-friendly, shared by the
+    fused decode kernel's in-kernel top-k (unit weights, target=k) and
+    top-p (softmax-prob weights, target=top_p*Z) threshold searches.
 
-    Matches ``jnp.sort(scores, axis=-1)[:, -k, None]`` bit-for-bit for
-    finite inputs (tie semantics included: masking ``scores >= kth`` keeps
-    ties, exactly like sample/decode.py's XLA top-k path).
+    Because the weighted mass is a step function that only changes at actual
+    element values, the converged ``lo`` is always one of the row's values.
     """
     n = scores.shape[0]
     s = jax.lax.bitcast_convert_type(scores, jnp.int32)
     key = jnp.where(s < 0, s ^ jnp.int32(0x7FFFFFFF), s)     # monotonic
-    kf = jnp.float32(k)
     lo = jnp.full((n, 1), jnp.iinfo(jnp.int32).min, jnp.int32)
     hi = jnp.full((n, 1), jnp.iinfo(jnp.int32).max, jnp.int32)
+    zero = jnp.zeros_like(weights)
     for _ in range(32):
         # overflow-safe floor average of two int32s
         mid = (lo >> 1) + (hi >> 1) + (lo & hi & 1)
-        cnt = jnp.sum((key >= mid).astype(jnp.float32), axis=1,
-                      keepdims=True)
-        ok = cnt >= kf           # invariant: count_ge(lo) >= k > count_ge(hi)
+        mass = jnp.sum(jnp.where(key >= mid, weights, zero), axis=1,
+                       keepdims=True)
+        ok = mass >= target      # invariant: mass_ge(lo) >= target > mass_ge(hi)
         lo = jnp.where(ok, mid, lo)
         hi = jnp.where(ok, hi, mid)
     back = jnp.where(lo < 0, lo ^ jnp.int32(0x7FFFFFFF), lo)
     return jax.lax.bitcast_convert_type(back, jnp.float32)
+
+
+def kth_largest_threshold(scores: jnp.ndarray, k: int) -> jnp.ndarray:
+    """(N, B) f32 -> (N, 1) the k-th largest value per row, EXACTLY.
+
+    Unit-weight instance of :func:`_bisect_ge_threshold` (VERDICT r2 #6:
+    "top-k needs only the k-th largest score per lane ... threshold refine").
+    Matches ``jnp.sort(scores, axis=-1)[:, -k, None]`` bit-for-bit for
+    finite inputs (tie semantics included: masking ``scores >= kth`` keeps
+    ties, exactly like sample/decode.py's XLA top-k path).
+    """
+    ones = jnp.ones(scores.shape, jnp.float32)
+    return _bisect_ge_threshold(scores, ones,
+                                jnp.full((scores.shape[0], 1), float(k),
+                                         jnp.float32))
+
+
+def top_p_cutoff_threshold(scores: jnp.ndarray, top_p: float) -> jnp.ndarray:
+    """(N, B) f32 logits -> (N, 1) the nucleus cutoff: the smallest logit
+    kept by top-p, so masking ``scores < cutoff`` keeps exactly the smallest
+    descending-prob prefix whose cumulative mass reaches ``top_p`` (threshold
+    token included — the same semantics as sample/decode.py's sort+cumsum
+    XLA path, ties at the cutoff all surviving).
+
+    Sort-free: the XLA cutoff equals the largest element value ``v`` with
+    ``sum(softmax(scores) * (scores >= v)) >= top_p`` (the cumulative-mass
+    prefix condition restated on the unsorted row), which is one weighted
+    bisection.  Used by the fused decode kernel's in-kernel top-p.  The
+    ``max(top_p, 1e-9)`` floor keeps the top token selectable even at
+    ``top_p <= 0``, mirroring the XLA path.
+    """
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    p = jnp.exp(scores - m)                       # unnormalized softmax
+    z = jnp.sum(p, axis=-1, keepdims=True)
+    target = jnp.float32(max(float(top_p), 1e-9)) * z
+    return _bisect_ge_threshold(scores, p, target)
 
 
 def decode_pallas_available(n_samples: int = LANE, heads: int = 1) -> bool:
@@ -164,7 +202,7 @@ def _make_kernel(depth, n, heads, hd, width, blocks, block_len, patterns,
                 stream_ref.at[pl.ds(t + 1, 1)], stream_scratch,
                 aux_sems.at[0])
             stream_dma.start()
-            if sample["mode"] in ("gumbel", "top_k"):
+            if sample["mode"] in ("gumbel", "top_k", "top_p"):
                 # Per-step stream: Mosaic takes at most two seed words, so
                 # fold t in via golden-ratio mixing (int32 wraparound is fine).
                 pltpu.prng_seed(
@@ -449,7 +487,14 @@ def _make_kernel(depth, n, heads, hd, width, blocks, block_len, patterns,
             # through to Gumbel-max over the survivors.
             kth = kth_largest_threshold(scores, sample["top_k"])
             scores = jnp.where(scores < kth, jnp.float32(-1e9), scores)
-        if sample["mode"] in ("gumbel", "top_k"):
+        if sample["mode"] == "top_p":
+            # Nucleus cutoff by probability-mass bisection (no sort) — same
+            # keep-set as the XLA sort+cumsum path (sample/decode.py:80-91),
+            # then Gumbel-max over the survivors.  Padding bins sit at -1e9
+            # so their softmax mass underflows to exactly 0.
+            cut = top_p_cutoff_threshold(scores, sample["top_p"])
+            scores = jnp.where(scores < cut, jnp.float32(-1e9), scores)
+        if sample["mode"] in ("gumbel", "top_k", "top_p"):
             bits = pltpu.bitcast(pltpu.prng_random_bits(scores.shape),
                                  jnp.uint32)
             # top 24 bits -> u in (0, 1); Mosaic lacks uint32->f32, but after
@@ -578,8 +623,8 @@ def _interp(interpret):
 @functools.partial(
     jax.jit,
     static_argnames=("depth", "n", "heads", "hd", "width", "blocks",
-                     "block_len", "patterns", "mode", "top_k", "interpret",
-                     "lane_tiles"))
+                     "block_len", "patterns", "mode", "top_k", "top_p",
+                     "interpret", "lane_tiles"))
 def fused_decode_step_sample(
     scalars: jnp.ndarray,   # (1, 1) int32: [t] (b, i derived in-kernel)
     seeds: jnp.ndarray,     # (1, 2) int32 PRNG seeds (scan-invariant)
@@ -595,8 +640,9 @@ def fused_decode_step_sample(
     *,
     depth: int, n: int, heads: int, hd: int, width: int,
     blocks: int, block_len: int, patterns: Tuple[int, ...],
-    mode: str = "gumbel",   # 'gumbel' | 'greedy' | 'top_k'
+    mode: str = "gumbel",   # 'gumbel' | 'greedy' | 'top_k' | 'top_p'
     top_k: int = 0,         # for mode='top_k': sample among the k best bins
+    top_p: float = 1.0,     # for mode='top_p': sample within the nucleus
     interpret=False,        # False | True | "tpu" (see _interp)
     lane_tiles: int = 0,
 ):
@@ -625,7 +671,8 @@ def fused_decode_step_sample(
                           patterns, cache_dtype=cache_dtype,
                           lane_tiles=lane_tiles,
                           sample={"mode": mode, "bins_p": bins_p,
-                                  "n_stream": n_stream, "top_k": top_k})
+                                  "n_stream": n_stream, "top_k": top_k,
+                                  "top_p": top_p})
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)

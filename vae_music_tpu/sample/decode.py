@@ -141,22 +141,20 @@ def make_decode_fn(
     patterns = tuple(cfg.attn_pattern(li) for li in range(depth))
     if sample_in_kernel is None:
         # Auto: the fully-fused step (head + sampling + next-embed inside the
-        # kernel) covers the serving fast paths — gumbel/greedy AND top-k
+        # kernel) covers ALL serving sampling modes — gumbel/greedy, top-k
         # (r3: exact in-kernel k-th-largest threshold by int-bisection, see
-        # ops/decode_pallas.kth_largest_threshold); priming, logits capture,
-        # and top-p fall back to per-step XLA sampling.
+        # ops/decode_pallas.kth_largest_threshold), and top-p (r3: nucleus
+        # cutoff by probability-mass bisection, top_p_cutoff_threshold);
+        # only priming and logits capture fall back to per-step XLA sampling.
         ok_mode = ((mode in (SampleMode.GUMBEL, SampleMode.GREEDY)
                     and top_k == 0)
-                   or (mode == SampleMode.TOP_K and top_k > 0))
+                   or (mode == SampleMode.TOP_K and top_k > 0)
+                   or (mode == SampleMode.TOP_P and top_p < 1.0))
         sample_in_kernel = (fused and prime_len == 0 and not return_logits
-                            and top_p >= 1.0 and ok_mode)
+                            and ok_mode)
     assert not (sample_in_kernel and not fused)
-    assert not (sample_in_kernel
-                and (prime_len > 0 or return_logits
-                     or mode not in (SampleMode.GUMBEL, SampleMode.GREEDY,
-                                     SampleMode.TOP_K))), (
-        "sample_in_kernel supports the unprimed gumbel/greedy/top-k fast "
-        "paths only")
+    assert not (sample_in_kernel and (prime_len > 0 or return_logits)), (
+        "sample_in_kernel supports the unprimed, no-logits fast paths only")
     bins_p = -(-cfg.bins // 128) * 128  # head/emb padded to the lane size
 
     def decode(params, rng, x_cond_stream=None, y_cond=None, prime=None):
@@ -385,7 +383,8 @@ def make_decode_fn(
                     head_k, head_b, emb_p, stream,
                     depth=depth, n=n_samples, heads=heads, hd=hd, width=width,
                     blocks=blocks, block_len=block_len, patterns=patterns,
-                    mode=mode.value, top_k=top_k, interpret=fused_interpret)
+                    mode=mode.value, top_k=top_k, top_p=top_p,
+                    interpret=fused_interpret)
                 return (x, uc, kc, vc), tok[0]
 
             # unroll MUST stay 1 here: an unrolled body defeats the
