@@ -77,13 +77,16 @@ def bench_one(name: str, iters: int = 5):
     except Exception:
         pass
 
+    from vae_music_tpu.utils.profiling import measure_rtt
+
     state, m = step(state, audio, labels, rng)
     _ = float(m["loss"])   # forced completion (tunnel-safe)
+    rtt = measure_rtt()
     t0 = time.time()
     for _ in range(iters):
         state, m = step(state, audio, labels, rng)
     _ = float(m["loss"])
-    dt = (time.time() - t0) / iters
+    dt = (time.time() - t0 - rtt) / iters
 
     tokens = batch * get_tokens(vcfg, pcfg)
     print(json.dumps({

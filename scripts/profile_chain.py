@@ -25,14 +25,17 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
 import jax.numpy as jnp
 
 
-def timeit(fn, *args, iters=5):
+def timeit(fn, *args, iters=20):
+    from vae_music_tpu.utils.profiling import measure_rtt
+
     out = fn(*args)
     _ = float(jnp.sum(jax.tree.leaves(out)[0].astype(jnp.float32)))
+    rtt = measure_rtt()   # ~28 ms per host fetch on the tunneled backend
     t0 = time.time()
     for _ in range(iters):
         out = fn(*args)
     _ = float(jnp.sum(jax.tree.leaves(out)[0].astype(jnp.float32)))
-    return (time.time() - t0) / iters, out
+    return (time.time() - t0 - rtt) / iters, out
 
 
 def main():

@@ -31,16 +31,19 @@ from jax.experimental.pallas import tpu as pltpu
 N, D, K = 28672, 64, 512
 
 
-def bench(fn, *args, iters=100):
+def bench(fn, *args, iters=1000):
+    from vae_music_tpu.utils.profiling import measure_rtt
+
     out = fn(*args)
     jax.tree_util.tree_map(
         lambda x: None, out)
     _ = float(jnp.sum(jax.tree_util.tree_leaves(out)[-1]))
-    t0 = time.time()
+    rtt = measure_rtt()   # sub-ms kernels: the per-fetch RTT must be
+    t0 = time.time()      # amortized over MANY reps and subtracted
     for _ in range(iters):
         out = fn(*args)
     _ = float(jnp.sum(jax.tree_util.tree_leaves(out)[-1]))
-    return (time.time() - t0) / iters * 1e6
+    return (time.time() - t0 - rtt) / iters * 1e6
 
 
 # ---------------- XLA references ----------------------------------------

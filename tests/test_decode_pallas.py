@@ -97,8 +97,10 @@ def test_fused_sample_in_kernel_gumbel_smoke():
 def test_lane_tiled_kernel_matches_untiled():
     """lane_tiles=2 splits the attention lane axis into two tiles (bounded
     VMEM scratch for big batches); all lane math is elementwise across lanes,
-    so outputs must be bit-comparable to the untiled kernel."""
-    from vae_music_tpu.ops.decode_pallas import fused_decode_step
+    so outputs must be bit-comparable to the untiled kernel (after mapping
+    the tile-major cache layouts back to a common logical layout)."""
+    from vae_music_tpu.ops.decode_pallas import (fused_decode_step,
+                                                 tile_cache, untile_cache)
 
     depth, n, heads, hd, width, blocks, block_len = 3, 4, 2, 8, 16, 4, 8
     patterns = (0, 1, 2)  # row, col, prev_row
@@ -125,10 +127,15 @@ def test_lane_tiled_kernel_matches_untiled():
     kw = dict(depth=depth, n=n, heads=heads, hd=hd, width=width,
               blocks=blocks, block_len=block_len, patterns=patterns,
               interpret=True)
-    out1 = fused_decode_step(scalars, x, uc, kc, vc, weights,
-                             lane_tiles=1, **kw)
-    out2 = fused_decode_step(scalars, x, uc, kc, vc, weights,
-                             lane_tiles=2, **kw)
+    out1 = fused_decode_step(scalars, x, uc, tile_cache(kc, 1),
+                             tile_cache(vc, 1), weights, lane_tiles=1, **kw)
+    out2 = fused_decode_step(scalars, x, uc, tile_cache(kc, 2),
+                             tile_cache(vc, 2), weights, lane_tiles=2, **kw)
+    # Round-trip check on the layout helpers themselves.
+    np.testing.assert_array_equal(np.asarray(untile_cache(tile_cache(kc, 2))),
+                                  np.asarray(kc))
+    out1 = out1[:2] + tuple(untile_cache(c) for c in out1[2:])
+    out2 = out2[:2] + tuple(untile_cache(c) for c in out2[2:])
     for a, b, name in zip(out1, out2, ("x", "uc", "kc", "vc")):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-6, atol=1e-6, err_msg=name)
@@ -142,11 +149,14 @@ def test_auto_lane_tiles_alignment():
 
     for nh in (128, 256, 384, 512, 640, 768, 1024, 2048):
         for cache_bytes in (2, 4):
-            t = _auto_lane_tiles(nh, 224, 16, cache_bytes, 4)
-            assert nh % t == 0 and (nh // t) % LANE == 0, (nh, cache_bytes, t)
-            scratch = (4 * 224 + 2 * 4) * 16 * (nh // t) * cache_bytes
-            # within budget unless even maximal tiling cannot fit
-            assert scratch <= 8 * 1024 * 1024 or nh // t == LANE
+            for hist_slots in (2, 3, 4):
+                t = _auto_lane_tiles(nh, 224, 16, cache_bytes, 4, hist_slots)
+                assert nh % t == 0 and (nh // t) % LANE == 0, (
+                    nh, cache_bytes, t)
+                scratch = ((2 * hist_slots * 224 + 4 * 4) * 16
+                           * (nh // t) * cache_bytes)
+                # within budget unless even maximal tiling cannot fit
+                assert scratch <= 8 * 1024 * 1024 or nh // t == LANE
     # the flagship serving geometry keeps its measured sweet-spot choice
     assert _auto_lane_tiles(512, 224, 16, 2, 4) == 2
 

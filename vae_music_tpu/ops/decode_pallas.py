@@ -5,14 +5,26 @@ step (the body of the lax.scan in vae_music_tpu.sample.decode).  The XLA path
 issues ~30 small HLOs per layer per step; fusing the step removes that
 per-op overhead and reads only the pattern-relevant cache slices from HBM.
 
-Cache layout is lane-major: (depth, blocks, block_len, hd, N*H) with the
-batchxheads product on the 128-lane axis (Mosaic's DMA engine requires the
-trailing copy dims tile-aligned; (l, hd=16) trailing dims crash the
-compile-helper on this jaxlib).  Every pattern is then one rectangular DMA:
+Cache layout is lane-major AND lane-tile-major:
+(depth, lane_tiles, blocks, block_len, hd, nh_t) with the batchxheads product
+split across ``lane_tiles`` tiles of nh_t lanes each (nh_t a multiple of 128;
+Mosaic's DMA engine requires the trailing copy dims tile-aligned).  Every
+pattern+tile is then one FULLY CONTIGUOUS rectangular DMA:
 
-      row      -> [li, b]        (current block)       (1, l, hd, NH)
-      col      -> [li, :, i]     (column i, all blocks) (blocks, 1, hd, NH)
-      prev_row -> [li, b-1]      (previous block)       (1, l, hd, NH)
+      row      -> [li, ti, b]        (current block)        (1, l, hd, nh_t)
+      col      -> [li, ti, :, i]     (column i, all blocks) (blocks, 1, hd, nh_t)
+      prev_row -> [li, ti, b-1]      (previous block)       (1, l, hd, nh_t)
+
+Tile-major matters because the r2 layout (depth, blocks, block_len, hd, nh)
+made every lane-tiled history DMA strided: a 2-tile batch-256 read fetched
+512-byte lane slices on a 1024-byte stride, and batch-512's 4 tiles ran
+256-byte slices on the same stride.  Measured on v5e (flagship level-0
+decode, bf16 caches): f32-cache step 101.8 -> 90.9 us and single-scan
+batch-512 125.6 -> 117.7 us from the contiguity alone; bf16 batch-256 is
+within run-to-run noise (the 2-tile 512B runs were already near this chip's
+~480 GB/s single-kernel effective bandwidth — see the in-flight-bytes note
+on the slot count below), and the layout decouples VMEM tiling from DMA
+efficiency for every future tiling choice.
 
 The CURRENT position's k/v never round-trip through HBM: attention treats
 them as an extra in-register key (history is masked strictly below the
@@ -61,6 +73,13 @@ except Exception:  # pragma: no cover
     _HAS_PLTPU = False
 
 LANE = 128
+
+# History-read pipeline depth (slots of khist/vhist scratch).  The DMA probe
+# on v5e measured 22MB of decode-step-sized reads at 581 GB/s with 2 slots
+# vs 616-641 GB/s with 3-4 slots (more in-flight bytes cover the
+# latency-bandwidth product); the per-config winner is set by
+# scripts/decode_lab.py measurements.
+HIST_SLOTS = 2
 
 
 def _bisect_ge_threshold(scores: jnp.ndarray,
@@ -143,7 +162,8 @@ def decode_pallas_available(n_samples: int = LANE, heads: int = 1) -> bool:
 
 
 def _make_kernel(depth, n, heads, hd, width, blocks, block_len, patterns,
-                 cache_dtype=jnp.float32, lane_tiles=1, sample=None):
+                 cache_dtype=jnp.float32, lane_tiles=1, sample=None,
+                 hist_slots=HIST_SLOTS):
     """Build the decode-step kernel.
 
     With ``sample`` (a dict: mode 'gumbel'|'greedy', bins_p, n_stream), the
@@ -255,13 +275,15 @@ def _make_kernel(depth, n, heads, hd, width, blocks, block_len, patterns,
 
         def hist_chunk_dma(j, part, c):
             li_j, ti_j = hist_jobs[j]
-            slot = j % 2
+            slot = j % hist_slots
             chunked = patterns[li_j] == 0 and n_chunks > 1
             blk = b if patterns[li_j] == 0 else b_prev
             rows = (pl.ds(c * chunk, chunk) if chunked
                     else slice(None))
+            # Tile-major cache: the (layer, tile) slice is one contiguous
+            # block — full HBM burst efficiency at any lane_tiles.
             src = (kc_ref if part == 0 else vc_ref).at[
-                li_j, pl.ds(blk, 1), rows, :, pl.ds(ti_j * nh_t, nh_t)]
+                li_j, ti_j, pl.ds(blk, 1), rows, :, :]
             dst = (khist_ref if part == 0 else vhist_ref).at[
                 pl.ds(slot, 1), rows]
             return pltpu.make_async_copy(src, dst,
@@ -269,7 +291,7 @@ def _make_kernel(depth, n, heads, hd, width, blocks, block_len, patterns,
 
         def hist_start(j):
             li_j, _ = hist_jobs[j]
-            slot = j % 2
+            slot = j % hist_slots
             if patterns[li_j] == 0 and n_chunks > 1:
                 for c in range(n_chunks):
                     needed = c * chunk < i
@@ -309,8 +331,10 @@ def _make_kernel(depth, n, heads, hd, width, blocks, block_len, patterns,
         def col_dma(c, part):
             li_c, ti_c = col_jobs[c]
             slot = c % 2
+            # Tile-major: each block's (hd, nh_t) column slab is contiguous
+            # (vs the r2 layout's 512B lane slices on a 1KB stride).
             src = (kc_ref if part == 0 else vc_ref).at[
-                li_c, :, pl.ds(i, 1), :, pl.ds(ti_c * nh_t, nh_t)]
+                li_c, ti_c, :, pl.ds(i, 1), :, :]
             dst = (kcol_ref if part == 0 else vcol_ref).at[slot]
             return pltpu.make_async_copy(src, dst, col_sems.at[slot, part])
 
@@ -322,7 +346,7 @@ def _make_kernel(depth, n, heads, hd, width, blocks, block_len, patterns,
             col_start(c)
         cidx = 0
 
-        for j in range(min(2, len(hist_jobs))):
+        for j in range(min(hist_slots, len(hist_jobs))):
             hist_start(j)
         jidx = 0
 
@@ -343,14 +367,19 @@ def _make_kernel(depth, n, heads, hd, width, blocks, block_len, patterns,
             k_t = to_lane_major(qkv[:, hh:2 * hh])
             v_t = to_lane_major(qkv[:, 2 * hh:])
 
-            # Stage current k/v and write them to the HBM cache.
-            kt_ref[0, 0] = k_t.astype(cache_dtype)
-            vt_ref[0, 0] = v_t.astype(cache_dtype)
+            # Stage current k/v per lane tile and write them to the HBM
+            # cache — ONE strided DMA covers all tiles of a layer (tile
+            # segments of hd*nh_t are contiguous in the tile-major layout).
+            for ti in range(lane_tiles):
+                kt_ref[ti, 0, 0] = k_t[:, ti * nh_t:(ti + 1) * nh_t].astype(
+                    cache_dtype)
+                vt_ref[ti, 0, 0] = v_t[:, ti * nh_t:(ti + 1) * nh_t].astype(
+                    cache_dtype)
             wk = pltpu.make_async_copy(
-                kt_ref, kc_out_ref.at[li, pl.ds(b, 1), pl.ds(i, 1), :, :],
+                kt_ref, kc_out_ref.at[li, :, pl.ds(b, 1), pl.ds(i, 1), :, :],
                 write_sems.at[li, 0])
             wv = pltpu.make_async_copy(
-                vt_ref, vc_out_ref.at[li, pl.ds(b, 1), pl.ds(i, 1), :, :],
+                vt_ref, vc_out_ref.at[li, :, pl.ds(b, 1), pl.ds(i, 1), :, :],
                 write_sems.at[li, 1])
             wk.start()
             wv.start()
@@ -369,7 +398,7 @@ def _make_kernel(depth, n, heads, hd, width, blocks, block_len, patterns,
                 logit_cur = jnp.sum(k_s * q_s, axis=0, keepdims=True) * inv_sqrt_hd
 
                 if pattern in (0, 2):  # row / prev_row: one block of history
-                    slot = jidx % 2
+                    slot = jidx % hist_slots
                     hist_wait(jidx)
                     k_hist = khist_ref[slot]                # (l, hd, nh_t)
                     v_hist = vhist_ref[slot]
@@ -431,8 +460,8 @@ def _make_kernel(depth, n, heads, hd, width, blocks, block_len, patterns,
                         attn_t = jnp.sum(jnp.expand_dims(w, 1) * v_hist, axis=0)
                         attn_t = attn_t * (b > 0).astype(attn_t.dtype)
                     # This job's slot is consumed — refill it for job j+2.
-                    if jidx + 2 < len(hist_jobs):
-                        hist_start(jidx + 2)
+                    if jidx + hist_slots < len(hist_jobs):
+                        hist_start(jidx + hist_slots)
                     jidx += 1
                 else:  # col: column i across all blocks (prefetched)
                     cslot = cidx % 2
@@ -520,17 +549,16 @@ def _make_kernel(depth, n, heads, hd, width, blocks, block_len, patterns,
 
 
 def _auto_lane_tiles(nh: int, block_len: int, hd: int, cache_bytes: int,
-                     blocks: int) -> int:
-    """Smallest power-of-2 tiling keeping the lane-tiled scratch buffers
-    (double-buffered khist/vhist of (2, block_len, hd, nh_t) plus kcol/vcol
-    of (blocks, hd, nh_t)) within ~8MB of the 16MB scoped-VMEM budget.  The
-    (1, 1, hd, nh) staging buffers are NOT tiled but are block_len-fold
-    smaller."""
+                     blocks: int, hist_slots: int = HIST_SLOTS) -> int:
+    """Smallest tiling keeping the lane-tiled scratch buffers (khist/vhist of
+    (hist_slots, block_len, hd, nh_t) plus double-buffered kcol/vcol of
+    (blocks, hd, nh_t)) within ~8MB of the 16MB scoped-VMEM budget.  The
+    staging buffers are NOT tiled but are block_len-fold smaller."""
     budget = 8 * 1024 * 1024
 
     def scratch(tiles):
-        return ((4 * block_len + 2 * blocks) * hd * (nh // tiles)
-                * cache_bytes)
+        return ((2 * hist_slots * block_len + 4 * blocks) * hd
+                * (nh // tiles) * cache_bytes)
 
     # Smallest tile count that divides nh into 128-lane-aligned tiles and
     # fits the budget (e.g. nh=384 -> 3 tiles of 128; a power-of-2-only
@@ -543,22 +571,60 @@ def _auto_lane_tiles(nh: int, block_len: int, hd: int, cache_bytes: int,
     return candidates[-1] if candidates else 1
 
 
+def decode_cache_lane_tiles(nh: int, block_len: int, hd: int,
+                            cache_dtype, blocks: int,
+                            hist_slots: int = HIST_SLOTS) -> int:
+    """Lane-tile count the fused kernel will use for this geometry (the
+    VMEM-bounded auto choice).  The KV caches must be allocated tile-major
+    with exactly this count — see decode_cache_shape."""
+    return _auto_lane_tiles(nh, block_len, hd,
+                            jnp.dtype(cache_dtype).itemsize, blocks,
+                            hist_slots)
+
+
+def decode_cache_shape(depth: int, blocks: int, block_len: int, hd: int,
+                       nh: int, lane_tiles: int):
+    """Tile-major KV-cache shape: (depth, lane_tiles, blocks, block_len, hd,
+    nh_t).  Each (layer, tile) slab is contiguous in HBM so every history
+    DMA runs at full burst efficiency regardless of the tiling."""
+    assert nh % lane_tiles == 0
+    return (depth, lane_tiles, blocks, block_len, hd, nh // lane_tiles)
+
+
+def tile_cache(cache: jnp.ndarray, lane_tiles: int) -> jnp.ndarray:
+    """(depth, blocks, block_len, hd, nh) -> tile-major 6-D layout.
+    Test/porting helper; production code allocates tile-major directly."""
+    d, b, l, hd_, nh = cache.shape
+    split = cache.reshape(d, b, l, hd_, lane_tiles, nh // lane_tiles)
+    return jnp.transpose(split, (0, 4, 1, 2, 3, 5))
+
+
+def untile_cache(cache: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of tile_cache: tile-major 6-D -> (depth, blocks, block_len,
+    hd, nh)."""
+    d, t, b, l, hd_, nh_t = cache.shape
+    return jnp.transpose(cache, (0, 2, 3, 4, 1, 5)).reshape(
+        d, b, l, hd_, t * nh_t)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("depth", "n", "heads", "hd", "width", "blocks",
-                     "block_len", "patterns", "interpret", "lane_tiles"))
+                     "block_len", "patterns", "interpret", "lane_tiles",
+                     "hist_slots"))
 def fused_decode_step(
     scalars: jnp.ndarray,   # (1, 1) int32: [t] (b, i derived in-kernel)
     x: jnp.ndarray,         # (N, width) f32
     uc: jnp.ndarray,        # (depth, N, 2, width) f32
-    kc: jnp.ndarray,        # (depth, blocks, block_len, hd, N*H), f32 or bf16
-    vc: jnp.ndarray,
+    kc: jnp.ndarray,        # (depth, lane_tiles, blocks, block_len, hd, nh_t)
+    vc: jnp.ndarray,        #   f32 or bf16 — see decode_cache_shape
     weights: Tuple[jnp.ndarray, ...],
     *,
     depth: int, n: int, heads: int, hd: int, width: int,
     blocks: int, block_len: int, patterns: Tuple[int, ...],
     interpret=False,        # False | True | "tpu" (see _interp)
-    lane_tiles: int = 0,    # 0 = auto (bound VMEM scratch regardless of batch)
+    lane_tiles: int = 0,    # 0 = infer from the cache's tile dim
+    hist_slots: int = HIST_SLOTS,  # history-read pipeline depth
 ):
     """Runs one full decode step. Returns (x_out, uc, kc, vc) with caches
     updated in place (aliased)."""
@@ -567,14 +633,14 @@ def fused_decode_step(
     if not interpret:
         assert nh % LANE == 0, (
             f"fused decode needs batch*heads % {LANE} == 0, got {nh}")
+    assert kc.ndim == 6, "caches are tile-major — use decode_cache_shape"
     if lane_tiles == 0:
-        lane_tiles = _auto_lane_tiles(nh, block_len, hd,
-                                      jnp.dtype(cache_dtype).itemsize, blocks)
-    assert nh % lane_tiles == 0
+        lane_tiles = kc.shape[1]
+    assert kc.shape[1] == lane_tiles and nh % lane_tiles == 0
     nh_t = nh // lane_tiles
     kernel = _make_kernel(depth, n, heads, hd, width, blocks, block_len,
                           patterns, cache_dtype=cache_dtype,
-                          lane_tiles=lane_tiles)
+                          lane_tiles=lane_tiles, hist_slots=hist_slots)
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
@@ -592,15 +658,15 @@ def fused_decode_step(
         # uc/kc/vc are updated in place: inputs 2,3,4 -> outputs 1,2,3.
         input_output_aliases={2: 1, 3: 2, 4: 3},
         scratch_shapes=[
-            pltpu.VMEM((2, block_len, hd, nh_t), cache_dtype),  # khist (2 slots)
-            pltpu.VMEM((2, block_len, hd, nh_t), cache_dtype),  # vhist (2 slots)
+            pltpu.VMEM((hist_slots, block_len, hd, nh_t), cache_dtype),  # khist
+            pltpu.VMEM((hist_slots, block_len, hd, nh_t), cache_dtype),  # vhist
             pltpu.VMEM((2, blocks, 1, hd, nh_t), cache_dtype),  # kcol (2 slots)
             pltpu.VMEM((2, blocks, 1, hd, nh_t), cache_dtype),  # vcol (2 slots)
-            pltpu.VMEM((1, 1, hd, nh), cache_dtype),           # kt staging
-            pltpu.VMEM((1, 1, hd, nh), cache_dtype),           # vt staging
+            pltpu.VMEM((lane_tiles, 1, 1, hd, nh_t), cache_dtype),  # kt staging
+            pltpu.VMEM((lane_tiles, 1, 1, hd, nh_t), cache_dtype),  # vt staging
             pltpu.VMEM((block_len, nh_t), jnp.float32),        # row logits
             pltpu.VMEM((hd, nh_t), jnp.float32),               # row attn acc
-            pltpu.SemaphoreType.DMA((2, 2, 4)),                # hist chunk sems
+            pltpu.SemaphoreType.DMA((hist_slots, 2, 4)),       # hist chunk sems
             pltpu.SemaphoreType.DMA((2, 2)),                   # col slot sems
             pltpu.SemaphoreType.DMA((1,)),                     # stream sem
             pltpu.SemaphoreType.DMA((depth, 2)),               # write sems
@@ -624,14 +690,14 @@ def _interp(interpret):
     jax.jit,
     static_argnames=("depth", "n", "heads", "hd", "width", "blocks",
                      "block_len", "patterns", "mode", "top_k", "top_p",
-                     "interpret", "lane_tiles"))
+                     "interpret", "lane_tiles", "hist_slots"))
 def fused_decode_step_sample(
     scalars: jnp.ndarray,   # (1, 1) int32: [t] (b, i derived in-kernel)
     seeds: jnp.ndarray,     # (1, 2) int32 PRNG seeds (scan-invariant)
     x: jnp.ndarray,         # (N, width) f32 — position t's input embedding
     uc: jnp.ndarray,        # (depth, N, 2, width) f32
-    kc: jnp.ndarray,        # (depth, blocks, block_len, hd, N*H), f32 or bf16
-    vc: jnp.ndarray,
+    kc: jnp.ndarray,        # (depth, lane_tiles, blocks, block_len, hd, nh_t)
+    vc: jnp.ndarray,        #   f32 or bf16 — see decode_cache_shape
     weights: Tuple[jnp.ndarray, ...],
     head_k: jnp.ndarray,    # (width, bins_p) f32, pre-scaled by 1/temperature
     head_b: jnp.ndarray,    # (1, bins_p) f32, padding bins at -1e9
@@ -645,6 +711,7 @@ def fused_decode_step_sample(
     top_p: float = 1.0,     # for mode='top_p': sample within the nucleus
     interpret=False,        # False | True | "tpu" (see _interp)
     lane_tiles: int = 0,
+    hist_slots: int = HIST_SLOTS,  # history-read pipeline depth
 ):
     """One COMPLETE autoregressive step: transformer layers + logits head +
     token sampling + next-position input embedding, in a single kernel.
@@ -661,15 +728,15 @@ def fused_decode_step_sample(
     if not interpret:
         assert nh % LANE == 0, (
             f"fused decode needs batch*heads % {LANE} == 0, got {nh}")
+    assert kc.ndim == 6, "caches are tile-major — use decode_cache_shape"
     if lane_tiles == 0:
-        lane_tiles = _auto_lane_tiles(nh, block_len, hd,
-                                      jnp.dtype(cache_dtype).itemsize, blocks)
-    assert nh % lane_tiles == 0
+        lane_tiles = kc.shape[1]
+    assert kc.shape[1] == lane_tiles and nh % lane_tiles == 0
     nh_t = nh // lane_tiles
     n_stream = stream.shape[1]
     kernel = _make_kernel(depth, n, heads, hd, width, blocks, block_len,
                           patterns, cache_dtype=cache_dtype,
-                          lane_tiles=lane_tiles,
+                          lane_tiles=lane_tiles, hist_slots=hist_slots,
                           sample={"mode": mode, "bins_p": bins_p,
                                   "n_stream": n_stream, "top_k": top_k,
                                   "top_p": top_p})
@@ -692,16 +759,16 @@ def fused_decode_step_sample(
         # uc/kc/vc are updated in place: inputs 3,4,5 -> outputs 2,3,4.
         input_output_aliases={3: 2, 4: 3, 5: 4},
         scratch_shapes=[
-            pltpu.VMEM((2, block_len, hd, nh_t), cache_dtype),  # khist (2 slots)
-            pltpu.VMEM((2, block_len, hd, nh_t), cache_dtype),  # vhist (2 slots)
+            pltpu.VMEM((hist_slots, block_len, hd, nh_t), cache_dtype),  # khist
+            pltpu.VMEM((hist_slots, block_len, hd, nh_t), cache_dtype),  # vhist
             pltpu.VMEM((2, blocks, 1, hd, nh_t), cache_dtype),  # kcol (2 slots)
             pltpu.VMEM((2, blocks, 1, hd, nh_t), cache_dtype),  # vcol (2 slots)
-            pltpu.VMEM((1, 1, hd, nh), cache_dtype),           # kt staging
-            pltpu.VMEM((1, 1, hd, nh), cache_dtype),           # vt staging
+            pltpu.VMEM((lane_tiles, 1, 1, hd, nh_t), cache_dtype),  # kt staging
+            pltpu.VMEM((lane_tiles, 1, 1, hd, nh_t), cache_dtype),  # vt staging
             pltpu.VMEM((1, n_stream, width), jnp.float32),     # stream slice
             pltpu.VMEM((block_len, nh_t), jnp.float32),        # row logits
             pltpu.VMEM((hd, nh_t), jnp.float32),               # row attn acc
-            pltpu.SemaphoreType.DMA((2, 2, 4)),                # hist chunk sems
+            pltpu.SemaphoreType.DMA((hist_slots, 2, 4)),       # hist chunk sems
             pltpu.SemaphoreType.DMA((2, 2)),                   # col slot sems
             pltpu.SemaphoreType.DMA((1,)),                     # stream sem
             pltpu.SemaphoreType.DMA((depth, 2)),               # write sems

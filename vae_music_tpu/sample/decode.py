@@ -108,6 +108,7 @@ def make_decode_fn(
     prime_len: int = 0,
     cache_dtype: str = "float32",
     sample_in_kernel: Optional[bool] = None,
+    hist_slots: int = 0,        # 0 = kernel default; perf-lab knob
 ):
     """Build a jitted sampler for one prior level.
 
@@ -303,7 +304,7 @@ def make_decode_fn(
                 scalars, x.astype(jnp.float32), uc, kc, vc, fused_weights,
                 depth=depth, n=n_samples, heads=heads, hd=hd, width=width,
                 blocks=blocks, block_len=block_len, patterns=patterns,
-                interpret=fused_interpret)
+                hist_slots=hslots, interpret=fused_interpret)
             logits = x @ out_k + out_b
             step_rng, sub = jax.random.split(step_rng)
             next_token = apply_prime(
@@ -331,8 +332,18 @@ def make_decode_fn(
                 jnp.stack([lp["mlp"]["bias"] for lp in layers]),
             )
             uc0 = jnp.zeros((depth, n_samples, 2, width), jnp.float32)
-            kc0 = jnp.zeros((depth, blocks, block_len, hd, nh),
-                            jnp.dtype(cache_dtype))
+            # Tile-major KV caches: each (layer, lane-tile) slab contiguous
+            # in HBM (full-burst history DMAs at any batch/tiling).
+            from vae_music_tpu.ops.decode_pallas import (
+                HIST_SLOTS, decode_cache_lane_tiles, decode_cache_shape)
+
+            hslots = hist_slots or HIST_SLOTS
+            lt = decode_cache_lane_tiles(nh, block_len, hd,
+                                         jnp.dtype(cache_dtype), blocks,
+                                         hslots)
+            kc0 = jnp.zeros(
+                decode_cache_shape(depth, blocks, block_len, hd, nh, lt),
+                jnp.dtype(cache_dtype))
             vc0 = jnp.zeros_like(kc0)
         if fused and sample_in_kernel:
             from vae_music_tpu.ops.decode_pallas import fused_decode_step_sample
@@ -384,7 +395,7 @@ def make_decode_fn(
                     depth=depth, n=n_samples, heads=heads, hd=hd, width=width,
                     blocks=blocks, block_len=block_len, patterns=patterns,
                     mode=mode.value, top_k=top_k, top_p=top_p,
-                    interpret=fused_interpret)
+                    hist_slots=hslots, interpret=fused_interpret)
                 return (x, uc, kc, vc), tok[0]
 
             # unroll MUST stay 1 here: an unrolled body defeats the
