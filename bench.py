@@ -89,12 +89,13 @@ def main():
 
     scfg = get_config("FULL_PIPELINE")
     vcfg = scfg.vqvae
-    # Generation throughput peaks at batch 256 (measured with the prefetch-
-    # pipelined sampling kernel + chunk-predicated row compute + bf16
-    # serving stacks: 256 -> 39.7k, 512 -> 32.6k clips/s).  bf16 KV caches halve the per-step DMA; serve_dtype
-    # bf16 runs the conditioner/VQ-decoder conv stacks in bf16 (serving
-    # config — loss-parity numbers in PARITY.md are measured in f32);
-    # sampling happens inside the fused decode kernel (auto-enabled).
+    # Generation throughput peaks at batch 256 (r3, tile-major caches +
+    # 3-slot history pipeline + RTT-corrected timing: 256 -> 48.0k, 512
+    # single-scan slower, 512 auto-chunked 47.8k).  bf16 KV caches halve
+    # the per-step DMA;
+    # serve_dtype bf16 runs the conditioner/VQ-decoder conv stacks in bf16
+    # (serving config — loss-parity numbers in PARITY.md are measured in
+    # f32); sampling happens inside the fused decode kernel (auto-enabled).
     # Fidelity guards: tests/test_decode_pallas.py (greedy token-exact vs the
     # XLA path) and the decode==full-forward invariant.
     n_samples = 256

@@ -157,8 +157,11 @@ def test_auto_lane_tiles_alignment():
                            * (nh // t) * cache_bytes)
                 # within budget unless even maximal tiling cannot fit
                 assert scratch <= 8 * 1024 * 1024 or nh // t == LANE
-    # the flagship serving geometry keeps its measured sweet-spot choice
-    assert _auto_lane_tiles(512, 224, 16, 2, 4) == 2
+    # the flagship serving geometry keeps its measured sweet-spot choice:
+    # 4 tiles at the 3-slot production default (decode_lab: 41.9 us/step),
+    # 2 at the shallower 2-slot pipeline (43.5).
+    assert _auto_lane_tiles(512, 224, 16, 2, 4) == 4
+    assert _auto_lane_tiles(512, 224, 16, 2, 4, hist_slots=2) == 2
 
 
 def test_kth_largest_threshold_exact():

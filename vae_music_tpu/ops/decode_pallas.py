@@ -78,8 +78,10 @@ LANE = 128
 # on v5e measured 22MB of decode-step-sized reads at 581 GB/s with 2 slots
 # vs 616-641 GB/s with 3-4 slots (more in-flight bytes cover the
 # latency-bandwidth product); the per-config winner is set by
-# scripts/decode_lab.py measurements.
-HIST_SLOTS = 2
+# scripts/decode_lab.py measurements — flagship level-0 decode: 3 slots
+# 41.9 us/step vs 2 slots 43.5 (batch 256), 100.7 vs 106.0 (batch 512,
+# single-scan); 4 slots gains nothing further and regresses batch 256.
+HIST_SLOTS = 3
 
 
 def _bisect_ge_threshold(scores: jnp.ndarray,
