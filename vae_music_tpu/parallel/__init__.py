@@ -5,6 +5,12 @@ from vae_music_tpu.parallel.input import (
     put_global_batch,
 )
 from vae_music_tpu.parallel.sharding import prior_param_sharding, shard_pytree
+from vae_music_tpu.parallel.fsdp import (
+    fsdp_sharding,
+    fsdp_state_sharding,
+    make_prior_train_step_fsdp,
+    shard_state,
+)
 from vae_music_tpu.parallel.ring_attention import sequence_parallel_attention
 from vae_music_tpu.parallel.sp_prior import (
     make_prior_train_step_sp,

@@ -1,0 +1,141 @@
+"""FSDP / ZeRO-3-style parameter + optimizer-state sharding over 'data'.
+
+The reference replicates the full model and its Adam slots on every replica
+(Keras ``model.fit`` data parallelism — /root/reference/prior.py:241-372 keeps
+one whole copy of the 202M-param prior plus two Adam moments per device).  At
+Jukebox scale that replica (~2.4 GB of f32 state per 202M params) is the HBM
+ceiling long before activations are.
+
+The TPU-native answer needs no new step function and no hand-written
+collectives: keep the exact data-parallel train step and change only the
+*placement*.  Every parameter — and its Adam moments, which optax stores in a
+shape-congruent pytree — is sharded along its largest divisible axis over the
+'data' mesh axis.  GSPMD then derives the ZeRO-3 communication schedule from
+the annotations alone: parameters are all-gathered just-in-time for the
+forward/backward, gradients are reduce-scattered so each device updates only
+its own shard ("How to Scale Your Model" recipe: pick a mesh, annotate,
+let XLA insert the collectives).
+
+Composes with the existing axes: the sharding rule only touches leaves whose
+spec is still fully replicated, so tensor-parallel kernels (column-sharded on
+'model' by ``prior_param_sharding``) keep their TP axis and FSDP picks a
+*different* dimension of the same leaf when one divides.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from vae_music_tpu.configs import PriorConfig, VQVAEConfig
+from vae_music_tpu.train.prior_step import build_prior_train_step
+
+# Leaves smaller than this stay replicated: sharding a (32,)-element bias
+# saves nothing and costs an all-gather dispatch per use.
+MIN_SHARD_ELEMS = 1024
+
+
+def fsdp_sharding(mesh: Mesh, tree: Any, axis: str = "data",
+                  base: Optional[Any] = None,
+                  min_shard_elems: int = MIN_SHARD_ELEMS) -> Any:
+    """NamedSharding pytree: each leaf sharded on its largest divisible dim.
+
+    ``base`` (optional) is a congruent pytree of existing NamedShardings
+    (e.g. tensor-parallel specs from ``prior_param_sharding``); FSDP only
+    occupies dimensions ``base`` leaves unsharded, so DP(FSDP)xTP composes.
+    The rule is shape-only, so one function covers params, Adam moments and
+    grad-accumulation buffers alike.
+    """
+    n = mesh.shape.get(axis, 1)
+
+    def spec_for(leaf, base_sharding=None):
+        shape = getattr(leaf, "shape", ())
+        if n <= 1 or len(shape) == 0:
+            return base_sharding or NamedSharding(mesh, P())
+        size = 1
+        for d in shape:
+            size *= d
+        if size < min_shard_elems:
+            return base_sharding or NamedSharding(mesh, P())
+        taken = list(getattr(base_sharding, "spec", ()) or ())
+        taken += [None] * (len(shape) - len(taken))
+        # Largest dim that divides the axis size and is not already sharded.
+        cand = [i for i, d in enumerate(shape)
+                if d % n == 0 and taken[i] is None]
+        if not cand:
+            return base_sharding or NamedSharding(mesh, P())
+        dim = max(cand, key=lambda i: shape[i])
+        taken[dim] = axis
+        return NamedSharding(mesh, P(*taken))
+
+    if base is None:
+        return jax.tree_util.tree_map(spec_for, tree)
+    return jax.tree_util.tree_map(spec_for, tree, base)
+
+
+def fsdp_state_sharding(mesh: Mesh, state: Any, axis: str = "data",
+                        base_params: Optional[Any] = None) -> Any:
+    """Shardings for a whole train state (step scalar stays replicated).
+
+    ``base_params``: optional TP shardings for ``state.params`` — they are
+    reused (congruently) for the optimizer moments, whose leaves mirror the
+    parameter shapes; non-congruent optimizer leaves (step counters) fall
+    back to the shape-only rule.
+    """
+    if base_params is None:
+        return fsdp_sharding(mesh, state, axis)
+    params_sh = fsdp_sharding(mesh, state.params, axis, base=base_params)
+    by_shape = {}
+    for p_leaf, sh in zip(jax.tree_util.tree_leaves(state.params),
+                          jax.tree_util.tree_leaves(params_sh)):
+        by_shape.setdefault(p_leaf.shape, sh)
+
+    def opt_spec(leaf):
+        sh = by_shape.get(getattr(leaf, "shape", ()))
+        if sh is not None:
+            return sh
+        return fsdp_sharding(mesh, leaf, axis)
+
+    opt_sh = jax.tree_util.tree_map(opt_spec, state.opt_state)
+    return state.replace(step=NamedSharding(mesh, P()), params=params_sh,
+                         opt_state=opt_sh)
+
+
+def shard_state(mesh: Mesh, state: Any, axis: str = "data",
+                base_params: Optional[Any] = None):
+    """Device-put a train state under FSDP shardings; returns (state, shardings)."""
+    shardings = fsdp_state_sharding(mesh, state, axis, base_params)
+    placed = jax.tree_util.tree_map(jax.device_put, state, shardings)
+    return placed, shardings
+
+
+def make_prior_train_step_fsdp(
+    vqvae_cfg: VQVAEConfig,
+    prior_cfg: PriorConfig,
+    vqvae_params,
+    codebooks,
+    mesh: Mesh,
+    state_shardings: Any,
+    axis: str = "data",
+    donate: bool = True,
+):
+    """The standard prior train step, jitted under FSDP placements.
+
+    Numerics are identical to ``make_prior_train_step`` (same function is
+    jitted); only shardings change.  ``state_shardings`` comes from
+    ``shard_state``/``fsdp_state_sharding`` so input and output placements
+    agree and the updated state stays sharded step over step (no gathered
+    copy ever materializes in HBM).
+    """
+    step = build_prior_train_step(vqvae_cfg, prior_cfg, vqvae_params,
+                                  codebooks)
+    batch_sh = NamedSharding(mesh, P(axis))
+    repl = NamedSharding(mesh, P())
+    return jax.jit(
+        step,
+        in_shardings=(state_shardings, batch_sh, batch_sh, repl),
+        out_shardings=(state_shardings, repl),
+        donate_argnums=(0,) if donate else (),
+    )

@@ -81,13 +81,14 @@ def _forward(model: FMHAPrior, params, tokens, x_cond, y, *, train, rng=None):
     return logits
 
 
-def make_prior_train_step(
+def build_prior_train_step(
     vqvae_cfg: VQVAEConfig,
     prior_cfg: PriorConfig,
     vqvae_params,
     codebooks,
-    donate: bool = True,
 ):
+    """The un-jitted train-step function (shared by the jit wrappers below
+    and by parallel/fsdp.py, which jits it under FSDP shardings)."""
     model = build_fmha_prior(vqvae_cfg, prior_cfg)
     level = prior_cfg.level
     levels = vqvae_cfg.levels
@@ -134,6 +135,18 @@ def make_prior_train_step(
         return state.replace(step=state.step + 1, params=new_params,
                              opt_state=new_opt), metrics
 
+    return train_step
+
+
+def make_prior_train_step(
+    vqvae_cfg: VQVAEConfig,
+    prior_cfg: PriorConfig,
+    vqvae_params,
+    codebooks,
+    donate: bool = True,
+):
+    train_step = build_prior_train_step(vqvae_cfg, prior_cfg, vqvae_params,
+                                        codebooks)
     return jax.jit(train_step, donate_argnums=(0,) if donate else (),
                    static_argnums=())
 
