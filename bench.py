@@ -230,6 +230,29 @@ def main():
         vq_us["vq_kernel_speedup"] = round(
             vq_us["vq_assign_us_pallas"] / vq_us["vq_assign_us_xla"], 2)
 
+    # ---- training throughput at the Jukebox-scale geometries --------------
+    # VERDICT r2 item 7: the bench_train numbers must be driver-captured.
+    # Runs in-process (a subprocess could not acquire the already-held TPU);
+    # serving buffers are released first so the 202M/282M train states fit.
+    # Non-fatal: serving stays the headline even if the train bench trips.
+    train_rows = []
+    if os.environ.get("VMT_SKIP_TRAIN_BENCH") != "1":
+        del chain, wav, chain512, wav512, sampler
+        try:
+            import gc
+            import importlib.util as _ilu
+
+            gc.collect()
+            spec = _ilu.spec_from_file_location(
+                "bench_train", os.path.join(REPO, "scripts", "bench_train.py"))
+            bt = _ilu.module_from_spec(spec)
+            spec.loader.exec_module(bt)
+            for nm in ("JUKEBOX_SMALL_PRIOR", "JUKEBOX_SMALL_UPSAMPLER"):
+                train_rows.append(bt.bench_one(nm, iters=5))
+                gc.collect()
+        except Exception as e:  # pragma: no cover - OOM/compile-env specific
+            train_rows = [{"error": f"{type(e).__name__}: {e}"[:200]}]
+
     baseline = _load_baseline()
     vs_baseline = (clips_per_sec / baseline["clips_per_sec"]) if baseline else 0.0
     enc_vs = (tokens_per_sec / baseline["encode_tokens_per_sec"]) if baseline else 0.0
@@ -257,6 +280,7 @@ def main():
             "encode_tokens_per_sec_bf16": round(tokens_per_sec_bf16),
             "encode_vs_baseline": round(enc_vs, 2),
             **vq_us,
+            "train": train_rows,
             "serve_dtype": "bfloat16",
             "cache_dtype": "bfloat16",
             "sample_in_kernel": True,

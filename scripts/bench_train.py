@@ -89,7 +89,7 @@ def bench_one(name: str, iters: int = 5):
     dt = (time.time() - t0 - rtt) / iters
 
     tokens = batch * get_tokens(vcfg, pcfg)
-    print(json.dumps({
+    return {
         "config": name,
         "params_m": round(n_params / 1e6, 1),
         "batch": batch,
@@ -98,7 +98,7 @@ def bench_one(name: str, iters: int = 5):
         "tokens_per_sec": round(tokens / dt),
         "mfu": round(flops / dt / V5E_PEAK_BF16_FLOPS, 4) if flops else None,
         "step_tflops": round(flops / 1e12, 2) if flops else None,
-    }))
+    }
 
 
 def get_tokens(vcfg, pcfg):
@@ -110,4 +110,4 @@ def get_tokens(vcfg, pcfg):
 if __name__ == "__main__":
     names = sys.argv[1:] or ["JUKEBOX_SMALL_PRIOR", "JUKEBOX_SMALL_UPSAMPLER"]
     for nm in names:
-        bench_one(nm)
+        print(json.dumps(bench_one(nm)))
