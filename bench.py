@@ -17,6 +17,8 @@ from __future__ import annotations
 
 import json
 import os
+import signal
+import sys
 import time
 
 import jax
@@ -33,6 +35,26 @@ import numpy as np
 REPO = os.path.dirname(os.path.abspath(__file__))
 SAMPLE_RATE = 3000
 
+# Timeout insurance: a full solo run compiles for many minutes (the tunneled
+# backend's persistent cache does not cover the big chain programs), so a
+# driver-side kill mid-run would otherwise lose the whole artifact.  Every
+# completed measurement lands in _PARTIAL; SIGTERM/SIGINT prints the best
+# JSON line so far (headline included once generation has been timed) and
+# exits.  Measurements are ordered headline-first for exactly this reason.
+_PARTIAL: dict = {}
+
+
+def _emit_partial(signum, frame):  # pragma: no cover - signal path
+    if _PARTIAL.get("value") is not None:
+        _PARTIAL.setdefault("extra", {})["partial"] = (
+            f"killed by signal {signum} before all measurements finished")
+        print(json.dumps(_PARTIAL), flush=True)
+    sys.exit(0)
+
+
+for _sig in (signal.SIGTERM, signal.SIGINT):
+    signal.signal(_sig, _emit_partial)
+
 
 def _load_baseline():
     path = os.path.join(REPO, "baselines", "tf_cpu.json")
@@ -45,6 +67,10 @@ def _load_baseline():
 # TPU v5e (v5 lite) single-chip peaks, for MFU/roofline accounting.
 V5E_PEAK_BF16_FLOPS = 197e12   # MXU peak, bf16
 V5E_HBM_BW = 819e9             # bytes/sec
+
+# Serving KV-cache dtype (decode_lab-measured winner; int8 carries bf16
+# per-(position, lane) scale side caches — see ops/decode_pallas.py).
+CACHE_DTYPE = os.environ.get("VMT_CACHE_DTYPE", "bfloat16")
 
 
 def _cost_analysis(compiled):
@@ -101,7 +127,7 @@ def main():
     n_samples = 256
 
     rng = jax.random.PRNGKey(0)
-    sampler = AncestralSampler.from_config(scfg, rng, cache_dtype="bfloat16",
+    sampler = AncestralSampler.from_config(scfg, rng, cache_dtype=CACHE_DTYPE,
                                            serve_dtype="bfloat16")
 
     # ---- generation: full ancestral chain (ONE jitted XLA program) --------
@@ -124,6 +150,28 @@ def main():
     audio_seconds = n_samples * vcfg.sample_length / SAMPLE_RATE
     clips_per_sec = audio_seconds / gen_dt
 
+    # Headline secured: from here on a driver kill still yields an artifact.
+    baseline = _load_baseline()
+    n_decode_steps = sum(s.ctx_len for s in sampler.specs)  # sequential tokens
+    _PARTIAL.update({
+        "metric": "e2e_generation_throughput",
+        "value": round(clips_per_sec, 3),
+        "unit": "1s-clips/sec/chip",
+        "vs_baseline": (round(clips_per_sec / baseline["clips_per_sec"], 2)
+                        if baseline else 0.0),
+        "extra": {
+            "timing_rtt_ms": round(rtt * 1e3, 1),
+            "generate_wall_sec_per_batch": round(gen_dt, 3),
+            "batch": n_samples,
+            "audio_seconds_per_batch": audio_seconds,
+            "decode_step_us": round(gen_dt / n_decode_steps * 1e6, 1),
+            "serve_dtype": "bfloat16",
+            "cache_dtype": CACHE_DTYPE,
+            "sample_in_kernel": True,
+            "device": str(jax.devices()[0]),
+        },
+    })
+
     # Batch 512 (auto-chunked into sweet-spot chains by compile_chain, r3):
     # throughput must be monotone in batch size — the r2 single-scan 512
     # program regressed to 32.6k clips/s.
@@ -138,13 +186,23 @@ def main():
     _ = float(jnp.sum(wav512))
     dt512 = (time.time() - t0 - rtt) / iters512
     clips_512 = 512 * vcfg.sample_length / SAMPLE_RATE / dt512
+    _PARTIAL["extra"].update({
+        "clips_per_sec_b512_chunked": round(clips_512, 1),
+        "b512_over_b256": round(clips_512 / clips_per_sec, 3),
+    })
 
     # MFU / roofline for the whole chain (XLA's own cost model).
     flops, hbm_bytes = _cost_analysis(chain.lower(jax.random.PRNGKey(1), y)
                                       .compile())
-    n_decode_steps = sum(s.ctx_len for s in sampler.specs)  # sequential tokens
     mfu = (flops / gen_dt / V5E_PEAK_BF16_FLOPS) if flops else None
     hbm_util = (hbm_bytes / gen_dt / V5E_HBM_BW) if hbm_bytes else None
+    _PARTIAL["extra"].update({
+        "chain_flops_per_batch": flops,
+        "chain_hbm_bytes_per_batch": hbm_bytes,
+        "mfu_vs_bf16_peak": round(mfu, 4) if mfu is not None else None,
+        "hbm_bw_utilization": (round(hbm_util, 4)
+                               if hbm_util is not None else None),
+    })
 
     # ---- encode: waveform -> codebook tokens ------------------------------
     x = jnp.asarray(np.random.default_rng(0).standard_normal(
@@ -169,6 +227,14 @@ def main():
     tokens_per_sec_xla = measure_encode(vcfg, use_pallas=False)
     tokens_per_sec_bf16 = measure_encode(
         dataclasses.replace(vcfg, dtype="bfloat16"))
+    _PARTIAL["extra"].update({
+        "encode_tokens_per_sec": round(tokens_per_sec),
+        "encode_tokens_per_sec_xla": round(tokens_per_sec_xla),
+        "encode_tokens_per_sec_bf16": round(tokens_per_sec_bf16),
+        "encode_vs_baseline": (
+            round(tokens_per_sec / baseline["encode_tokens_per_sec"], 2)
+            if baseline else 0.0),
+    })
 
     # Isolated VQ assignment+EMA: fused Pallas kernel vs the XLA path, at the
     # flagship encode row count.  Timed with an on-device fori_loop (REPS
@@ -229,6 +295,7 @@ def main():
         vq_us["vq_dispatch"] = "xla"
         vq_us["vq_kernel_speedup"] = round(
             vq_us["vq_assign_us_pallas"] / vq_us["vq_assign_us_xla"], 2)
+    _PARTIAL["extra"].update(vq_us)
 
     # ---- training throughput at the Jukebox-scale geometries --------------
     # VERDICT r2 item 7: the bench_train numbers must be driver-captured.
@@ -250,44 +317,12 @@ def main():
             for nm in ("JUKEBOX_SMALL_PRIOR", "JUKEBOX_SMALL_UPSAMPLER"):
                 train_rows.append(bt.bench_one(nm, iters=5))
                 gc.collect()
+                _PARTIAL["extra"]["train"] = train_rows
         except Exception as e:  # pragma: no cover - OOM/compile-env specific
             train_rows = [{"error": f"{type(e).__name__}: {e}"[:200]}]
+    _PARTIAL["extra"]["train"] = train_rows
 
-    baseline = _load_baseline()
-    vs_baseline = (clips_per_sec / baseline["clips_per_sec"]) if baseline else 0.0
-    enc_vs = (tokens_per_sec / baseline["encode_tokens_per_sec"]) if baseline else 0.0
-
-    result = {
-        "metric": "e2e_generation_throughput",
-        "value": round(clips_per_sec, 3),
-        "unit": "1s-clips/sec/chip",
-        "vs_baseline": round(vs_baseline, 2),
-        "extra": {
-            "timing_rtt_ms": round(rtt * 1e3, 1),
-            "generate_wall_sec_per_batch": round(gen_dt, 3),
-            "batch": n_samples,
-            "audio_seconds_per_batch": audio_seconds,
-            "decode_step_us": round(gen_dt / n_decode_steps * 1e6, 1),
-            "chain_flops_per_batch": flops,
-            "chain_hbm_bytes_per_batch": hbm_bytes,
-            "mfu_vs_bf16_peak": round(mfu, 4) if mfu is not None else None,
-            "hbm_bw_utilization": (round(hbm_util, 4)
-                                   if hbm_util is not None else None),
-            "clips_per_sec_b512_chunked": round(clips_512, 1),
-            "b512_over_b256": round(clips_512 / clips_per_sec, 3),
-            "encode_tokens_per_sec": round(tokens_per_sec),
-            "encode_tokens_per_sec_xla": round(tokens_per_sec_xla),
-            "encode_tokens_per_sec_bf16": round(tokens_per_sec_bf16),
-            "encode_vs_baseline": round(enc_vs, 2),
-            **vq_us,
-            "train": train_rows,
-            "serve_dtype": "bfloat16",
-            "cache_dtype": "bfloat16",
-            "sample_in_kernel": True,
-            "device": str(jax.devices()[0]),
-        },
-    }
-    print(json.dumps(result))
+    print(json.dumps(_PARTIAL))
 
 
 if __name__ == "__main__":

@@ -32,7 +32,14 @@ def main():
     from vae_music_tpu.sample.sampler import AncestralSampler
     from vae_music_tpu.utils.profiling import measure_rtt
 
-    batches = [int(a) for a in sys.argv[1:]] or [256, 512]
+    cache_dtype = "bfloat16"
+    batches = []
+    for a in sys.argv[1:]:
+        if a.startswith("dtype="):
+            cache_dtype = a.split("=", 1)[1]
+        else:
+            batches.append(int(a))
+    batches = batches or [256, 512]
     scfg = get_config("FULL_PIPELINE")
     sampler = AncestralSampler.from_config(scfg, jax.random.PRNGKey(0))
     level = 0
@@ -54,7 +61,7 @@ def main():
                 params, jnp.zeros((batch,), jnp.int32))
             fn = make_decode_fn(pcfg, spec.ctx_len, batch,
                                 mode=SampleMode.GUMBEL,
-                                cache_dtype="bfloat16",
+                                cache_dtype=cache_dtype,
                                 hist_slots=hist_slots)
             out = fn(params, jax.random.PRNGKey(7), x_cond, y_cond)
             _ = float(jnp.sum(out.astype(jnp.float32)))
@@ -67,9 +74,10 @@ def main():
             us = dt / spec.ctx_len * 1e6
             nh = batch * pcfg.heads
             tiles = (force_tiles if force_tiles is not None else
-                     auto_tiles(nh, spec.ctx_len // pcfg.blocks,
-                                pcfg.attn_width // pcfg.heads, 2,
-                                pcfg.blocks, hist_slots))
+                     decode_pallas.decode_cache_lane_tiles(
+                         nh, spec.ctx_len // pcfg.blocks,
+                         pcfg.attn_width // pcfg.heads,
+                         jnp.dtype(cache_dtype), pcfg.blocks, hist_slots))
             print(f"batch {batch:4d} hist_slots={hist_slots} "
                   f"tiles={tiles}: {dt*1e3:7.2f} ms "
                   f"({us:6.1f} us/step, {batch/dt:8.0f} seq/s)")

@@ -164,6 +164,121 @@ def test_auto_lane_tiles_alignment():
     assert _auto_lane_tiles(512, 224, 16, 2, 4, hist_slots=2) == 2
 
 
+def test_int8_cache_kernel_matches_f32_on_dequantized_history():
+    """int8 KV caches with per-(position, lane) scales: the kernel factors the
+    scale out of both attention reductions.  With POWER-OF-TWO scales this
+    factoring is bit-exact (multiplying a f32 by 2^k commutes with rounding),
+    so the int8 kernel fed (int8 values, scales) must match the f32 kernel fed
+    the dequantized history to float-associativity tolerance — a wiring-exact
+    check of the scale math across all three patterns (row/col/prev_row)."""
+    from vae_music_tpu.ops.decode_pallas import (
+        SCALE_DTYPE, decode_scale_cache_shape, fused_decode_step, tile_cache)
+
+    depth, n, heads, hd, width, blocks, block_len = 3, 4, 2, 8, 16, 4, 8
+    patterns = (0, 1, 2)
+    nh, hh = n * heads, heads * hd
+    lt = 1
+    ks_ = jax.random.split(jax.random.PRNGKey(7), 16)
+    weights = (
+        jax.random.normal(ks_[0], (depth, 3, width, 3 * hh)) * 0.3,
+        jax.random.normal(ks_[1], (depth, 3 * hh)) * 0.1,
+        jax.random.normal(ks_[2], (depth, hh, width)) * 0.3,
+        jax.random.normal(ks_[3], (depth, width)) * 0.1,
+        jnp.ones((depth, width)), jnp.zeros((depth, width)),
+        jnp.ones((depth, width)), jnp.zeros((depth, width)),
+        jax.random.normal(ks_[4], (depth, width, width)) * 0.3,
+        jax.random.normal(ks_[5], (depth, width)) * 0.1,
+    )
+    x = jax.random.normal(ks_[6], (n, width))
+    uc = jax.random.normal(ks_[7], (depth, n, 2, width))
+    rng = np.random.default_rng(0)
+    kc_i = rng.integers(-127, 128, (depth, blocks, block_len, hd, nh))
+    vc_i = rng.integers(-127, 128, (depth, blocks, block_len, hd, nh))
+    ksc = 2.0 ** rng.integers(-3, 2, (depth, blocks, block_len, 1, nh))
+    vsc = 2.0 ** rng.integers(-3, 2, (depth, blocks, block_len, 1, nh))
+    kc_q = jnp.asarray(kc_i, jnp.int8)
+    vc_q = jnp.asarray(vc_i, jnp.int8)
+    ksc_b = jnp.asarray(ksc, SCALE_DTYPE)
+    vsc_b = jnp.asarray(vsc, SCALE_DTYPE)
+    kc_f = kc_q.astype(jnp.float32) * ksc_b.astype(jnp.float32)
+    vc_f = vc_q.astype(jnp.float32) * vsc_b.astype(jnp.float32)
+
+    t = 2 * block_len + 3          # block 2, offset 3: all patterns active
+    scalars = jnp.array([[t]], jnp.int32)
+    kw = dict(depth=depth, n=n, heads=heads, hd=hd, width=width,
+              blocks=blocks, block_len=block_len, patterns=patterns,
+              interpret=True, lane_tiles=lt)
+    out_f = fused_decode_step(scalars, x, uc, tile_cache(kc_f, lt),
+                              tile_cache(vc_f, lt), weights, **kw)
+    assert decode_scale_cache_shape(depth, blocks, block_len, nh, lt) == (
+        tile_cache(ksc_b, lt).shape)
+    out_q = fused_decode_step(scalars, x, uc, tile_cache(kc_q, lt),
+                              tile_cache(vc_q, lt), weights,
+                              kscale=tile_cache(ksc_b, lt),
+                              vscale=tile_cache(vsc_b, lt), **kw)
+    assert len(out_q) == 6
+    np.testing.assert_allclose(np.asarray(out_q[0]), np.asarray(out_f[0]),
+                               rtol=1e-6, atol=1e-6, err_msg="x_out")
+    np.testing.assert_allclose(np.asarray(out_q[1]), np.asarray(out_f[1]),
+                               rtol=1e-6, atol=1e-6, err_msg="uc_out")
+    # The written current-position k/v: dequantized int8 entries must sit
+    # within half a quantization step (+bf16 scale rounding) of the f32
+    # kernel's stored values, layer by layer.
+    b, i = t // block_len, t % block_len
+    for name, qc, sc, fc in (("k", out_q[2], out_q[4], out_f[2]),
+                             ("v", out_q[3], out_q[5], out_f[3])):
+        got = (np.asarray(qc)[:, :, b, i].astype(np.float32)
+               * np.asarray(sc)[:, :, b, i].astype(np.float32))
+        ref = np.asarray(fc)[:, :, b, i]
+        step = np.asarray(sc)[:, :, b, i].astype(np.float32)
+        assert (np.abs(got - ref) <= 0.51 * step + 1e-6).all(), name
+
+
+def test_int8_cache_decode_end_to_end_close_to_f32():
+    """Greedy decode with cache_dtype='int8' through make_decode_fn: the
+    quantization error must stay small enough that the tiny test prior's
+    token stream barely diverges from the f32-cache fused path (wiring test
+    of the scale caches through the scan carry)."""
+    vcfg = _vqvae_cfg()
+    pcfg = PriorConfig(level=1, levels=2, bins=17, width=32, depth=3, heads=2,
+                       blocks=4, attn_stacks=1, dropout=0.0)
+    _, params = init_prior(jax.random.PRNGKey(1), vcfg, pcfg)
+    ctx = vcfg.z_lengths[1]
+    dec_f32 = make_decode_fn(pcfg, ctx, 2, mode=SampleMode.GREEDY,
+                             return_logits=True, fused=True,
+                             fused_interpret=True)
+    dec_int8 = make_decode_fn(pcfg, ctx, 2, mode=SampleMode.GREEDY,
+                              return_logits=True, fused=True,
+                              fused_interpret=True, cache_dtype="int8")
+    tok_f, log_f = dec_f32(params, jax.random.PRNGKey(2), None, None)
+    tok_q, log_q = dec_int8(params, jax.random.PRNGKey(2), None, None)
+    agree = np.mean(np.asarray(tok_f) == np.asarray(tok_q))
+    assert agree >= 0.9, agree
+    # per-step logits stay close until the first token divergence
+    diff = np.abs(np.asarray(log_f[:, :8]) - np.asarray(log_q[:, :8]))
+    assert diff.max() < 0.25, diff.max()
+
+
+def test_int8_cache_sample_in_kernel_close_to_f32():
+    """The fully-fused sampled step must thread the int8 scale caches through
+    its scan carry too: greedy in-kernel sampling with int8 caches stays
+    token-close to the f32-cache in-kernel path."""
+    vcfg = _vqvae_cfg()
+    pcfg = PriorConfig(level=1, levels=2, bins=17, width=32, depth=3, heads=2,
+                       blocks=4, attn_stacks=1, dropout=0.0)
+    _, params = init_prior(jax.random.PRNGKey(1), vcfg, pcfg)
+    ctx = vcfg.z_lengths[1]
+    dec_f32 = make_decode_fn(pcfg, ctx, 2, mode=SampleMode.GREEDY, fused=True,
+                             fused_interpret=True, sample_in_kernel=True)
+    dec_int8 = make_decode_fn(pcfg, ctx, 2, mode=SampleMode.GREEDY, fused=True,
+                              fused_interpret=True, sample_in_kernel=True,
+                              cache_dtype="int8")
+    tok_f = np.asarray(dec_f32(params, jax.random.PRNGKey(2), None, None))
+    tok_q = np.asarray(dec_int8(params, jax.random.PRNGKey(2), None, None))
+    agree = np.mean(tok_f == tok_q)
+    assert agree >= 0.9, agree
+
+
 def test_kth_largest_threshold_exact():
     """The sort-free int-bisection threshold == jnp.sort's k-th largest,
     bit-for-bit, including ties, negatives, and -1e9 padding bins."""

@@ -163,6 +163,27 @@ def decode_pallas_available(n_samples: int = LANE, heads: int = 1) -> bool:
             and (n_samples * heads) % LANE == 0)
 
 
+# int8-cache per-(position, lane) scale dtype.  f32, NOT bf16: the scale
+# caches' second-minor dim is 1, and Mosaic's bf16 sublane packing (2 rows
+# per 32-bit word) rejects size-1 memref slices along that dim ("slice shape
+# along dimension 4 must be aligned to tiling (2)"); f32 packs 1 row/word so
+# the size-1 slices are always aligned.  Cost: the scale side caches are 4x
+# the values' bytes/row instead of 2x — still hd/4-fold smaller than the
+# value caches (hd=16 at the flagship geometry).
+#
+# MEASURED (v5e, flagship level-0 decode, scripts/decode_lab.py dtype=int8):
+# int8 LOSES to bf16 — 55.2 vs 42.0 us/step (batch 256), 103.8 vs ~101
+# (batch 512).  The 37.5% DMA saving (16+4 vs 32 bytes per (position, lane)
+# per k/v at hd=16) does not pay for (a) the extra int8->f32 convert pass
+# over every (l, hd, nh_t) history element on the VPU and (b) doubling the
+# DMA part count (4 semaphore waits per history job instead of 2): after the
+# r3 prefetch pipeline the kernel is balanced, not purely DMA-bound, so the
+# convert lands on the critical path.  bf16 stays the production default;
+# int8 remains available (cache_dtype="int8") for geometries with larger hd
+# where the scale overhead amortizes — measure per shape before enabling.
+SCALE_DTYPE = jnp.float32
+
+
 def _make_kernel(depth, n, heads, hd, width, blocks, block_len, patterns,
                  cache_dtype=jnp.float32, lane_tiles=1, sample=None,
                  hist_slots=HIST_SLOTS):
@@ -177,39 +198,63 @@ def _make_kernel(depth, n, heads, hd, width, blocks, block_len, patterns,
     and the next position's input embedding (exact one-hot gather on the MXU
     at HIGHEST precision, plus the precomputed pos+x_cond stream slice whose
     HBM DMA overlaps the transformer layers).
+
+    ``cache_dtype=jnp.int8`` stores the KV history quantized per (position,
+    lane): k/v rows are scaled by max|.| over the hd axis to int8, the f32
+    scales living in side caches hd-fold smaller rows than the values.
+    Because the scale is constant along hd, it FACTORS OUT of both attention
+    reductions — logits = scale_k * sum(k_q * q) and the value sum reuses the
+    softmax weights pre-multiplied by scale_v — so dequantization costs one
+    extra elementwise multiply per pattern, while the dominant history DMA
+    drops ~37% below bf16 at hd=16 (16+4 bytes vs 32 per cached
+    (position, lane) per k/v).
     """
     nh = n * heads
     nh_t = nh // lane_tiles   # lanes per attention tile (VMEM working set)
     hh = heads * hd
     inv_sqrt_hd = 1.0 / math.sqrt(hd)
+    quant = jnp.dtype(cache_dtype) == jnp.dtype(jnp.int8)
+    n_parts = 4 if quant else 2   # DMA parts per history job: k, v [, ks, vs]
 
     def kernel(*refs):
-        if sample is None:
-            (scalar_ref,                                    # SMEM (1, 1): t
-             x_ref, uc_ref,                                 # VMEM
-             kc_ref, vc_ref,                                # ANY (HBM)
-             qkv_k_ref, qkv_b_ref, out_k_ref, out_b_ref,
-             ln1s_ref, ln1b_ref, ln2s_ref, ln2b_ref,
-             mlp_k_ref, mlp_b_ref,
-             x_out_ref, uc_out_ref, kc_out_ref, vc_out_ref,
-             khist_ref, vhist_ref, kcol_ref, vcol_ref,      # VMEM scratch
-             kt_ref, vt_ref,                                # VMEM staging
-             logit_ref, acc_ref,                            # row-chunk scratch
-             read_sems, col_sems, aux_sems, write_sems) = refs
-        else:
-            (scalar_ref,                                    # SMEM (1, 1): t
-             seed_ref,                                      # SMEM (1, 2): s0, s1
-             x_ref, uc_ref, kc_ref, vc_ref,
-             qkv_k_ref, qkv_b_ref, out_k_ref, out_b_ref,
-             ln1s_ref, ln1b_ref, ln2s_ref, ln2b_ref,
-             mlp_k_ref, mlp_b_ref,
-             head_k_ref, head_b_ref, emb_ref,               # VMEM
-             stream_ref,                                    # ANY (HBM)
-             x_out_ref, tok_ref, uc_out_ref, kc_out_ref, vc_out_ref,
-             khist_ref, vhist_ref, kcol_ref, vcol_ref,
-             kt_ref, vt_ref, stream_scratch,
-             logit_ref, acc_ref,
-             read_sems, col_sems, aux_sems, write_sems) = refs
+        it = iter(refs)
+
+        def nxt():
+            return next(it)
+
+        scalar_ref = nxt()                                  # SMEM (1, 1): t
+        if sample is not None:
+            seed_ref = nxt()                                # SMEM (1, 2)
+        x_ref, uc_ref = nxt(), nxt()                        # VMEM
+        kc_ref, vc_ref = nxt(), nxt()                       # ANY (HBM)
+        ksc_ref = nxt() if quant else None                  # ANY: k scales
+        vsc_ref = nxt() if quant else None                  # ANY: v scales
+        (qkv_k_ref, qkv_b_ref, out_k_ref, out_b_ref,
+         ln1s_ref, ln1b_ref, ln2s_ref, ln2b_ref,
+         mlp_k_ref, mlp_b_ref) = (nxt() for _ in range(10))
+        if sample is not None:
+            head_k_ref, head_b_ref, emb_ref = nxt(), nxt(), nxt()  # VMEM
+            stream_ref = nxt()                              # ANY (HBM)
+        x_out_ref = nxt()
+        if sample is not None:
+            tok_ref = nxt()
+        uc_out_ref, kc_out_ref, vc_out_ref = nxt(), nxt(), nxt()
+        ksc_out_ref = nxt() if quant else None
+        vsc_out_ref = nxt() if quant else None
+        khist_ref, vhist_ref = nxt(), nxt()                 # VMEM scratch
+        kshist_ref = nxt() if quant else None
+        vshist_ref = nxt() if quant else None
+        kcol_ref, vcol_ref = nxt(), nxt()
+        kscol_ref = nxt() if quant else None
+        vscol_ref = nxt() if quant else None
+        kt_ref, vt_ref = nxt(), nxt()                       # VMEM staging
+        kst_ref = nxt() if quant else None
+        vst_ref = nxt() if quant else None
+        if sample is not None:
+            stream_scratch = nxt()
+        logit_ref, acc_ref = nxt(), nxt()                   # row-chunk scratch
+        read_sems, col_sems, aux_sems, write_sems = (nxt(), nxt(), nxt(),
+                                                     nxt())
         # Block/offset bookkeeping lives here on the scalar unit (block_len
         # is compile-time constant), so the XLA scan body around the kernel
         # shrinks to a reshape of the loop counter.
@@ -275,6 +320,11 @@ def _make_kernel(depth, n, heads, hd, width, blocks, block_len, patterns,
         n_chunks = 4 if block_len % 4 == 0 else 1
         chunk = block_len // n_chunks
 
+        hist_srcs = ((kc_ref, vc_ref, ksc_ref, vsc_ref) if quant
+                     else (kc_ref, vc_ref))
+        hist_dsts = ((khist_ref, vhist_ref, kshist_ref, vshist_ref) if quant
+                     else (khist_ref, vhist_ref))
+
         def hist_chunk_dma(j, part, c):
             li_j, ti_j = hist_jobs[j]
             slot = j % hist_slots
@@ -284,10 +334,8 @@ def _make_kernel(depth, n, heads, hd, width, blocks, block_len, patterns,
                     else slice(None))
             # Tile-major cache: the (layer, tile) slice is one contiguous
             # block — full HBM burst efficiency at any lane_tiles.
-            src = (kc_ref if part == 0 else vc_ref).at[
-                li_j, ti_j, pl.ds(blk, 1), rows, :, :]
-            dst = (khist_ref if part == 0 else vhist_ref).at[
-                pl.ds(slot, 1), rows]
+            src = hist_srcs[part].at[li_j, ti_j, pl.ds(blk, 1), rows, :, :]
+            dst = hist_dsts[part].at[pl.ds(slot, 1), rows]
             return pltpu.make_async_copy(src, dst,
                                          read_sems.at[slot, part, c])
 
@@ -300,11 +348,11 @@ def _make_kernel(depth, n, heads, hd, width, blocks, block_len, patterns,
 
                     @pl.when(needed)
                     def _(j=j, c=c):
-                        hist_chunk_dma(j, 0, c).start()
-                        hist_chunk_dma(j, 1, c).start()
+                        for part in range(n_parts):
+                            hist_chunk_dma(j, part, c).start()
             else:
-                hist_chunk_dma(j, 0, 0).start()
-                hist_chunk_dma(j, 1, 0).start()
+                for part in range(n_parts):
+                    hist_chunk_dma(j, part, 0).start()
 
         def hist_wait(j):
             li_j, _ = hist_jobs[j]
@@ -312,11 +360,11 @@ def _make_kernel(depth, n, heads, hd, width, blocks, block_len, patterns,
                 for c in range(n_chunks):
                     @pl.when(c * chunk < i)
                     def _(j=j, c=c):
-                        hist_chunk_dma(j, 0, c).wait()
-                        hist_chunk_dma(j, 1, c).wait()
+                        for part in range(n_parts):
+                            hist_chunk_dma(j, part, c).wait()
             else:
-                hist_chunk_dma(j, 0, 0).wait()
-                hist_chunk_dma(j, 1, 0).wait()
+                for part in range(n_parts):
+                    hist_chunk_dma(j, part, 0).wait()
 
         # Col-pattern reads get the same cross-layer prefetch treatment
         # (VERDICT r2 #2): the column slice kc[li, :, i] depends only on i —
@@ -330,19 +378,21 @@ def _make_kernel(depth, n, heads, hd, width, blocks, block_len, patterns,
         col_jobs = [(li, ti) for li in range(depth)
                     if patterns[li] == 1 for ti in range(lane_tiles)]
 
+        col_dsts = ((kcol_ref, vcol_ref, kscol_ref, vscol_ref) if quant
+                    else (kcol_ref, vcol_ref))
+
         def col_dma(c, part):
             li_c, ti_c = col_jobs[c]
             slot = c % 2
             # Tile-major: each block's (hd, nh_t) column slab is contiguous
             # (vs the r2 layout's 512B lane slices on a 1KB stride).
-            src = (kc_ref if part == 0 else vc_ref).at[
-                li_c, ti_c, :, pl.ds(i, 1), :, :]
-            dst = (kcol_ref if part == 0 else vcol_ref).at[slot]
+            src = hist_srcs[part].at[li_c, ti_c, :, pl.ds(i, 1), :, :]
+            dst = col_dsts[part].at[slot]
             return pltpu.make_async_copy(src, dst, col_sems.at[slot, part])
 
         def col_start(c):
-            col_dma(c, 0).start()
-            col_dma(c, 1).start()
+            for part in range(n_parts):
+                col_dma(c, part).start()
 
         for c in range(min(2, len(col_jobs))):
             col_start(c)
@@ -372,11 +422,33 @@ def _make_kernel(depth, n, heads, hd, width, blocks, block_len, patterns,
             # Stage current k/v per lane tile and write them to the HBM
             # cache — ONE strided DMA covers all tiles of a layer (tile
             # segments of hd*nh_t are contiguous in the tile-major layout).
+            def _quantize(a):
+                """(hd, nh_t) f32 -> int8 values + (1, nh_t) SCALE_DTYPE scale.
+
+                Scale = max|.| over hd per lane; quantizing with the
+                reciprocal of the STORED-precision scale makes the dequantized
+                product scale*q exactly recoverable up to the int8 step."""
+                amax = jnp.max(jnp.abs(a), axis=0, keepdims=True)
+                scale = (amax * jnp.float32(1.0 / 127.0)).astype(SCALE_DTYPE)
+                s = scale.astype(jnp.float32)
+                inv = jnp.where(s > 0, 1.0 / jnp.where(s > 0, s, 1.0), 0.0)
+                q = jnp.clip(jnp.round(a * inv), -127.0, 127.0).astype(
+                    jnp.int8)
+                return q, scale
+
             for ti in range(lane_tiles):
-                kt_ref[ti, 0, 0] = k_t[:, ti * nh_t:(ti + 1) * nh_t].astype(
-                    cache_dtype)
-                vt_ref[ti, 0, 0] = v_t[:, ti * nh_t:(ti + 1) * nh_t].astype(
-                    cache_dtype)
+                k_seg = k_t[:, ti * nh_t:(ti + 1) * nh_t]
+                v_seg = v_t[:, ti * nh_t:(ti + 1) * nh_t]
+                if quant:
+                    kq, ks_cur = _quantize(k_seg)
+                    vq, vs_cur = _quantize(v_seg)
+                    kt_ref[ti, 0, 0] = kq
+                    vt_ref[ti, 0, 0] = vq
+                    kst_ref[ti, 0, 0] = ks_cur
+                    vst_ref[ti, 0, 0] = vs_cur
+                else:
+                    kt_ref[ti, 0, 0] = k_seg.astype(cache_dtype)
+                    vt_ref[ti, 0, 0] = v_seg.astype(cache_dtype)
             wk = pltpu.make_async_copy(
                 kt_ref, kc_out_ref.at[li, :, pl.ds(b, 1), pl.ds(i, 1), :, :],
                 write_sems.at[li, 0])
@@ -385,6 +457,17 @@ def _make_kernel(depth, n, heads, hd, width, blocks, block_len, patterns,
                 write_sems.at[li, 1])
             wk.start()
             wv.start()
+            if quant:
+                wks = pltpu.make_async_copy(
+                    kst_ref,
+                    ksc_out_ref.at[li, :, pl.ds(b, 1), pl.ds(i, 1), :, :],
+                    write_sems.at[li, 2])
+                wvs = pltpu.make_async_copy(
+                    vst_ref,
+                    vsc_out_ref.at[li, :, pl.ds(b, 1), pl.ds(i, 1), :, :],
+                    write_sems.at[li, 3])
+                wks.start()
+                wvs.start()
 
             # Attention runs per lane tile: the history scratch and its big
             # elementwise intermediates are sized (l, hd, nh_t), so the VMEM
@@ -399,11 +482,22 @@ def _make_kernel(depth, n, heads, hd, width, blocks, block_len, patterns,
                 v_s = jax.lax.slice_in_dim(v_t, ts, ts + nh_t, axis=1)
                 logit_cur = jnp.sum(k_s * q_s, axis=0, keepdims=True) * inv_sqrt_hd
 
+                def _f32(a):
+                    """History values enter the VPU math in f32 (int8 needs
+                    the explicit convert; bf16 promotes on its own)."""
+                    return a.astype(jnp.float32) if quant else a
+
                 if pattern in (0, 2):  # row / prev_row: one block of history
                     slot = jidx % hist_slots
                     hist_wait(jidx)
                     k_hist = khist_ref[slot]                # (l, hd, nh_t)
                     v_hist = vhist_ref[slot]
+                    if quant:
+                        # Per-(position, lane) scales: constant along hd, so
+                        # they multiply the REDUCED logits / the softmax
+                        # weights, never the (l, hd, nh_t) intermediates.
+                        ks_h = kshist_ref[slot, :, 0].astype(jnp.float32)
+                        vs_h = vshist_ref[slot, :, 0].astype(jnp.float32)
                     if pattern == 0 and n_chunks > 1:
                         # Predicated per-chunk compute: a chunk entirely
                         # above offset i costs neither DMA nor VPU work —
@@ -415,10 +509,12 @@ def _make_kernel(depth, n, heads, hd, width, blocks, block_len, patterns,
 
                             @pl.when(cs < i)
                             def _(cs=cs):
-                                logit_ref[cs:cs + chunk] = jnp.sum(
-                                    k_hist[cs:cs + chunk]
+                                lg = jnp.sum(
+                                    _f32(k_hist[cs:cs + chunk])
                                     * jnp.expand_dims(q_s, 0),
                                     axis=1) * inv_sqrt_hd
+                                logit_ref[cs:cs + chunk] = (
+                                    lg * ks_h[cs:cs + chunk] if quant else lg)
 
                             @pl.when(cs >= i)
                             def _(cs=cs):
@@ -435,31 +531,44 @@ def _make_kernel(depth, n, heads, hd, width, blocks, block_len, patterns,
 
                             @pl.when(cs < i)
                             def _(cs=cs):
+                                wc = jax.lax.slice_in_dim(
+                                    w, cs, cs + chunk, axis=0)
+                                if quant:
+                                    wc = wc * vs_h[cs:cs + chunk]
                                 acc_ref[:] += jnp.sum(
-                                    jnp.expand_dims(jax.lax.slice_in_dim(
-                                        w, cs, cs + chunk, axis=0), 1)
-                                    * v_hist[cs:cs + chunk], axis=0)
+                                    jnp.expand_dims(wc, 1)
+                                    * _f32(v_hist[cs:cs + chunk]), axis=0)
                         attn_t = acc_ref[:]
                     elif pattern == 0:
                         # row: history strictly below offset i; current appended.
                         logits = jnp.sum(
-                            k_hist * jnp.expand_dims(q_s, 0),
+                            _f32(k_hist) * jnp.expand_dims(q_s, 0),
                             axis=1) * inv_sqrt_hd
+                        if quant:
+                            logits = logits * ks_h
                         logits = jnp.where(row_ids < i, logits, neg)
                         full = jnp.concatenate([logits, logit_cur], axis=0)
                         w = jax.nn.softmax(full, axis=0)    # (l+1, nh_t)
-                        w_hist = jnp.expand_dims(
-                            jax.lax.slice_in_dim(w, 0, block_len, axis=0), 1)
+                        w_rows = jax.lax.slice_in_dim(w, 0, block_len, axis=0)
+                        if quant:
+                            w_rows = w_rows * vs_h
+                        w_hist = jnp.expand_dims(w_rows, 1)
                         w_cur = jax.lax.slice_in_dim(w, block_len, block_len + 1, axis=0)
-                        attn_t = jnp.sum(w_hist * v_hist, axis=0) + w_cur * v_s
+                        attn_t = (jnp.sum(w_hist * _f32(v_hist), axis=0)
+                                  + w_cur * v_s)
                     else:
                         # prev_row: whole previous block, no current token; the
                         # uniform-over-zero-block b==0 case must output zero.
                         logits = jnp.sum(
-                            k_hist * jnp.expand_dims(q_s, 0),
+                            _f32(k_hist) * jnp.expand_dims(q_s, 0),
                             axis=1) * inv_sqrt_hd
+                        if quant:
+                            logits = logits * ks_h
                         w = jax.nn.softmax(logits, axis=0)
-                        attn_t = jnp.sum(jnp.expand_dims(w, 1) * v_hist, axis=0)
+                        if quant:
+                            w = w * vs_h
+                        attn_t = jnp.sum(jnp.expand_dims(w, 1) * _f32(v_hist),
+                                         axis=0)
                         attn_t = attn_t * (b > 0).astype(attn_t.dtype)
                     # This job's slot is consumed — refill it for job j+2.
                     if jidx + hist_slots < len(hist_jobs):
@@ -467,18 +576,26 @@ def _make_kernel(depth, n, heads, hd, width, blocks, block_len, patterns,
                     jidx += 1
                 else:  # col: column i across all blocks (prefetched)
                     cslot = cidx % 2
-                    col_dma(cidx, 0).wait()
-                    col_dma(cidx, 1).wait()
+                    for part in range(n_parts):
+                        col_dma(cidx, part).wait()
                     k_hist = kcol_ref[cslot, :, 0]          # (blocks, hd, nh_t)
                     v_hist = vcol_ref[cslot, :, 0]
-                    logits = jnp.sum(k_hist * jnp.expand_dims(q_s, 0), axis=1) * inv_sqrt_hd
+                    logits = jnp.sum(_f32(k_hist) * jnp.expand_dims(q_s, 0),
+                                     axis=1) * inv_sqrt_hd
+                    if quant:
+                        logits = logits * kscol_ref[cslot, :, 0, 0].astype(
+                            jnp.float32)
                     logits = jnp.where(blk_ids < b, logits, neg)
                     full = jnp.concatenate([logits, logit_cur], axis=0)
                     w = jax.nn.softmax(full, axis=0)        # (blocks+1, nh_t)
-                    w_hist = jnp.expand_dims(
-                        jax.lax.slice_in_dim(w, 0, blocks, axis=0), 1)
+                    w_blk = jax.lax.slice_in_dim(w, 0, blocks, axis=0)
+                    if quant:
+                        w_blk = w_blk * vscol_ref[cslot, :, 0, 0].astype(
+                            jnp.float32)
+                    w_hist = jnp.expand_dims(w_blk, 1)
                     w_cur = jax.lax.slice_in_dim(w, blocks, blocks + 1, axis=0)
-                    attn_t = jnp.sum(w_hist * v_hist, axis=0) + w_cur * v_s
+                    attn_t = (jnp.sum(w_hist * _f32(v_hist), axis=0)
+                              + w_cur * v_s)
                     # This job's slot is consumed — refill it for job c+2.
                     if cidx + 2 < len(col_jobs):
                         col_start(cidx + 2)
@@ -500,6 +617,9 @@ def _make_kernel(depth, n, heads, hd, width, blocks, block_len, patterns,
             # race with a prefetched history read touches only masked entries.
             wk.wait()
             wv.wait()
+            if quant:
+                wks.wait()
+                wvs.wait()
 
         if sample is None:
             x_out_ref[:] = x
@@ -551,16 +671,18 @@ def _make_kernel(depth, n, heads, hd, width, blocks, block_len, patterns,
 
 
 def _auto_lane_tiles(nh: int, block_len: int, hd: int, cache_bytes: int,
-                     blocks: int, hist_slots: int = HIST_SLOTS) -> int:
+                     blocks: int, hist_slots: int = HIST_SLOTS,
+                     scale_bytes: int = 0) -> int:
     """Smallest tiling keeping the lane-tiled scratch buffers (khist/vhist of
     (hist_slots, block_len, hd, nh_t) plus double-buffered kcol/vcol of
-    (blocks, hd, nh_t)) within ~8MB of the 16MB scoped-VMEM budget.  The
+    (blocks, hd, nh_t), plus the int8 path's scale slabs when
+    ``scale_bytes > 0``) within ~8MB of the 16MB scoped-VMEM budget.  The
     staging buffers are NOT tiled but are block_len-fold smaller."""
     budget = 8 * 1024 * 1024
 
     def scratch(tiles):
-        return ((2 * hist_slots * block_len + 4 * blocks) * hd
-                * (nh // tiles) * cache_bytes)
+        return ((2 * hist_slots * block_len + 4 * blocks)
+                * (hd * cache_bytes + scale_bytes) * (nh // tiles))
 
     # Smallest tile count that divides nh into 128-lane-aligned tiles and
     # fits the budget (e.g. nh=384 -> 3 tiles of 128; a power-of-2-only
@@ -579,9 +701,11 @@ def decode_cache_lane_tiles(nh: int, block_len: int, hd: int,
     """Lane-tile count the fused kernel will use for this geometry (the
     VMEM-bounded auto choice).  The KV caches must be allocated tile-major
     with exactly this count — see decode_cache_shape."""
-    return _auto_lane_tiles(nh, block_len, hd,
-                            jnp.dtype(cache_dtype).itemsize, blocks,
-                            hist_slots)
+    dt = jnp.dtype(cache_dtype)
+    scale_bytes = (jnp.dtype(SCALE_DTYPE).itemsize
+                   if dt == jnp.dtype(jnp.int8) else 0)
+    return _auto_lane_tiles(nh, block_len, hd, dt.itemsize, blocks,
+                            hist_slots, scale_bytes=scale_bytes)
 
 
 def decode_cache_shape(depth: int, blocks: int, block_len: int, hd: int,
@@ -591,6 +715,15 @@ def decode_cache_shape(depth: int, blocks: int, block_len: int, hd: int,
     DMA runs at full burst efficiency regardless of the tiling."""
     assert nh % lane_tiles == 0
     return (depth, lane_tiles, blocks, block_len, hd, nh // lane_tiles)
+
+
+def decode_scale_cache_shape(depth: int, blocks: int, block_len: int,
+                             nh: int, lane_tiles: int):
+    """Side-cache shape for the int8 path's per-(position, lane) scales:
+    the value-cache layout with the hd axis collapsed to 1 (scales are
+    constant along hd — they factor out of the attention reductions)."""
+    assert nh % lane_tiles == 0
+    return (depth, lane_tiles, blocks, block_len, 1, nh // lane_tiles)
 
 
 def tile_cache(cache: jnp.ndarray, lane_tiles: int) -> jnp.ndarray:
@@ -619,19 +752,24 @@ def fused_decode_step(
     x: jnp.ndarray,         # (N, width) f32
     uc: jnp.ndarray,        # (depth, N, 2, width) f32
     kc: jnp.ndarray,        # (depth, lane_tiles, blocks, block_len, hd, nh_t)
-    vc: jnp.ndarray,        #   f32 or bf16 — see decode_cache_shape
+    vc: jnp.ndarray,        #   f32 / bf16 / int8 — see decode_cache_shape
     weights: Tuple[jnp.ndarray, ...],
     *,
+    kscale=None,            # int8 caches only: per-(position, lane) scales,
+    vscale=None,            #   see decode_scale_cache_shape
     depth: int, n: int, heads: int, hd: int, width: int,
     blocks: int, block_len: int, patterns: Tuple[int, ...],
     interpret=False,        # False | True | "tpu" (see _interp)
     lane_tiles: int = 0,    # 0 = infer from the cache's tile dim
     hist_slots: int = HIST_SLOTS,  # history-read pipeline depth
 ):
-    """Runs one full decode step. Returns (x_out, uc, kc, vc) with caches
-    updated in place (aliased)."""
+    """Runs one full decode step. Returns (x_out, uc, kc, vc[, ks, vs]) with
+    caches updated in place (aliased)."""
     nh = n * heads
     cache_dtype = kc.dtype
+    quant = jnp.dtype(cache_dtype) == jnp.dtype(jnp.int8)
+    assert quant == (kscale is not None) == (vscale is not None), (
+        "int8 caches need kscale/vscale side caches (and only int8 does)")
     if not interpret:
         assert nh % LANE == 0, (
             f"fused decode needs batch*heads % {LANE} == 0, got {nh}")
@@ -640,43 +778,65 @@ def fused_decode_step(
         lane_tiles = kc.shape[1]
     assert kc.shape[1] == lane_tiles and nh % lane_tiles == 0
     nh_t = nh // lane_tiles
+    n_parts = 4 if quant else 2
     kernel = _make_kernel(depth, n, heads, hd, width, blocks, block_len,
                           patterns, cache_dtype=cache_dtype,
                           lane_tiles=lane_tiles, hist_slots=hist_slots)
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    scale_args = [kscale, vscale] if quant else []
+    scale_specs = [any_spec] * len(scale_args)
+    scale_shapes = [jax.ShapeDtypeStruct(s.shape, s.dtype)
+                    for s in scale_args]
+    scale_scratch = ([
+        pltpu.VMEM((hist_slots, block_len, 1, nh_t), SCALE_DTYPE),  # kshist
+        pltpu.VMEM((hist_slots, block_len, 1, nh_t), SCALE_DTYPE),  # vshist
+    ] if quant else [])
+    scale_col_scratch = ([
+        pltpu.VMEM((2, blocks, 1, 1, nh_t), SCALE_DTYPE),   # kscol
+        pltpu.VMEM((2, blocks, 1, 1, nh_t), SCALE_DTYPE),   # vscol
+    ] if quant else [])
+    scale_staging = ([
+        pltpu.VMEM((lane_tiles, 1, 1, 1, nh_t), SCALE_DTYPE),  # ks staging
+        pltpu.VMEM((lane_tiles, 1, 1, 1, nh_t), SCALE_DTYPE),  # vs staging
+    ] if quant else [])
+    # uc/kc/vc(/ks/vs) are updated in place: input j -> output j-1.
+    aliases = {j: j - 1 for j in range(2, 5 + len(scale_args))}
 
     out = pl.pallas_call(
         kernel,
-        in_specs=[smem, vmem, vmem, any_spec, any_spec] + [vmem] * 10,
-        out_specs=[vmem, vmem, any_spec, any_spec],
+        in_specs=([smem, vmem, vmem, any_spec, any_spec] + scale_specs
+                  + [vmem] * 10),
+        out_specs=[vmem, vmem, any_spec, any_spec] + scale_specs,
         out_shape=[
             jax.ShapeDtypeStruct((n, width), jnp.float32),
             jax.ShapeDtypeStruct(uc.shape, jnp.float32),
             jax.ShapeDtypeStruct(kc.shape, cache_dtype),
             jax.ShapeDtypeStruct(vc.shape, cache_dtype),
-        ],
-        # uc/kc/vc are updated in place: inputs 2,3,4 -> outputs 1,2,3.
-        input_output_aliases={2: 1, 3: 2, 4: 3},
+        ] + scale_shapes,
+        input_output_aliases=aliases,
         scratch_shapes=[
             pltpu.VMEM((hist_slots, block_len, hd, nh_t), cache_dtype),  # khist
             pltpu.VMEM((hist_slots, block_len, hd, nh_t), cache_dtype),  # vhist
+        ] + scale_scratch + [
             pltpu.VMEM((2, blocks, 1, hd, nh_t), cache_dtype),  # kcol (2 slots)
             pltpu.VMEM((2, blocks, 1, hd, nh_t), cache_dtype),  # vcol (2 slots)
+        ] + scale_col_scratch + [
             pltpu.VMEM((lane_tiles, 1, 1, hd, nh_t), cache_dtype),  # kt staging
             pltpu.VMEM((lane_tiles, 1, 1, hd, nh_t), cache_dtype),  # vt staging
+        ] + scale_staging + [
             pltpu.VMEM((block_len, nh_t), jnp.float32),        # row logits
             pltpu.VMEM((hd, nh_t), jnp.float32),               # row attn acc
-            pltpu.SemaphoreType.DMA((hist_slots, 2, 4)),       # hist chunk sems
-            pltpu.SemaphoreType.DMA((2, 2)),                   # col slot sems
+            pltpu.SemaphoreType.DMA((hist_slots, n_parts, 4)),  # hist chunk sems
+            pltpu.SemaphoreType.DMA((2, n_parts)),             # col slot sems
             pltpu.SemaphoreType.DMA((1,)),                     # stream sem
-            pltpu.SemaphoreType.DMA((depth, 2)),               # write sems
+            pltpu.SemaphoreType.DMA((depth, n_parts)),         # write sems
         ],
         interpret=_interp(interpret),
         compiler_params=(pltpu.CompilerParams(has_side_effects=True)
                          if _HAS_PLTPU and not interpret else None),
-    )(scalars, x, uc, kc, vc, *weights)
+    )(scalars, x, uc, kc, vc, *scale_args, *weights)
     return out
 
 
@@ -699,13 +859,15 @@ def fused_decode_step_sample(
     x: jnp.ndarray,         # (N, width) f32 — position t's input embedding
     uc: jnp.ndarray,        # (depth, N, 2, width) f32
     kc: jnp.ndarray,        # (depth, lane_tiles, blocks, block_len, hd, nh_t)
-    vc: jnp.ndarray,        #   f32 or bf16 — see decode_cache_shape
+    vc: jnp.ndarray,        #   f32 / bf16 / int8 — see decode_cache_shape
     weights: Tuple[jnp.ndarray, ...],
     head_k: jnp.ndarray,    # (width, bins_p) f32, pre-scaled by 1/temperature
     head_b: jnp.ndarray,    # (1, bins_p) f32, padding bins at -1e9
     emb: jnp.ndarray,       # (bins_p, width) f32, pre-scaled by sqrt(width)
     stream: jnp.ndarray,    # (ctx+1, n_stream, width) f32: pos (+ x_cond)
     *,
+    kscale=None,            # int8 caches only: per-(position, lane) scales,
+    vscale=None,            #   see decode_scale_cache_shape
     depth: int, n: int, heads: int, hd: int, width: int,
     blocks: int, block_len: int, patterns: Tuple[int, ...],
     mode: str = "gumbel",   # 'gumbel' | 'greedy' | 'top_k' | 'top_p'
@@ -718,23 +880,31 @@ def fused_decode_step_sample(
     """One COMPLETE autoregressive step: transformer layers + logits head +
     token sampling + next-position input embedding, in a single kernel.
 
-    Returns (x_next, tok (1, N) int32, uc, kc, vc); caches aliased in place.
-    The lax.scan body around this is just integer bookkeeping — the XLA path
-    issues the head matmul, threefry sampling, and embedding gather as
-    separate per-step HLOs whose dispatch dominates small-model decode.
+    Returns (x_next, tok (1, N) int32, uc, kc, vc[, ks, vs]); caches aliased
+    in place.  The lax.scan body around this is just integer bookkeeping —
+    the XLA path issues the head matmul, threefry sampling, and embedding
+    gather as separate per-step HLOs whose dispatch dominates small-model
+    decode.
     """
     nh = n * heads
     cache_dtype = kc.dtype
+    quant = jnp.dtype(cache_dtype) == jnp.dtype(jnp.int8)
+    assert quant == (kscale is not None) == (vscale is not None), (
+        "int8 caches need kscale/vscale side caches (and only int8 does)")
     bins_p = head_k.shape[1]
     assert bins_p % LANE == 0 and emb.shape == (bins_p, width)
     if not interpret:
         assert nh % LANE == 0, (
             f"fused decode needs batch*heads % {LANE} == 0, got {nh}")
+        assert width % LANE == 0, (
+            f"the sampled kernel's stream DMA needs width % {LANE} == 0, "
+            f"got {width} (use sample_in_kernel=False for narrower models)")
     assert kc.ndim == 6, "caches are tile-major — use decode_cache_shape"
     if lane_tiles == 0:
         lane_tiles = kc.shape[1]
     assert kc.shape[1] == lane_tiles and nh % lane_tiles == 0
     nh_t = nh // lane_tiles
+    n_parts = 4 if quant else 2
     n_stream = stream.shape[1]
     kernel = _make_kernel(depth, n, heads, hd, width, blocks, block_len,
                           patterns, cache_dtype=cache_dtype,
@@ -745,38 +915,59 @@ def fused_decode_step_sample(
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    scale_args = [kscale, vscale] if quant else []
+    scale_specs = [any_spec] * len(scale_args)
+    scale_shapes = [jax.ShapeDtypeStruct(s.shape, s.dtype)
+                    for s in scale_args]
+    scale_scratch = ([
+        pltpu.VMEM((hist_slots, block_len, 1, nh_t), SCALE_DTYPE),  # kshist
+        pltpu.VMEM((hist_slots, block_len, 1, nh_t), SCALE_DTYPE),  # vshist
+    ] if quant else [])
+    scale_col_scratch = ([
+        pltpu.VMEM((2, blocks, 1, 1, nh_t), SCALE_DTYPE),   # kscol
+        pltpu.VMEM((2, blocks, 1, 1, nh_t), SCALE_DTYPE),   # vscol
+    ] if quant else [])
+    scale_staging = ([
+        pltpu.VMEM((lane_tiles, 1, 1, 1, nh_t), SCALE_DTYPE),  # ks staging
+        pltpu.VMEM((lane_tiles, 1, 1, 1, nh_t), SCALE_DTYPE),  # vs staging
+    ] if quant else [])
+    # uc/kc/vc(/ks/vs) in place: input j (after scalars/seeds/x) -> output j-1.
+    aliases = {j: j - 1 for j in range(3, 6 + len(scale_args))}
 
     out = pl.pallas_call(
         kernel,
-        in_specs=([smem, smem, vmem, vmem, any_spec, any_spec] + [vmem] * 10
-                  + [vmem, vmem, vmem, any_spec]),
-        out_specs=[vmem, vmem, vmem, any_spec, any_spec],
+        in_specs=([smem, smem, vmem, vmem, any_spec, any_spec] + scale_specs
+                  + [vmem] * 10 + [vmem, vmem, vmem, any_spec]),
+        out_specs=[vmem, vmem, vmem, any_spec, any_spec] + scale_specs,
         out_shape=[
             jax.ShapeDtypeStruct((n, width), jnp.float32),   # x_next
             jax.ShapeDtypeStruct((1, n), jnp.int32),         # sampled tokens
             jax.ShapeDtypeStruct(uc.shape, jnp.float32),
             jax.ShapeDtypeStruct(kc.shape, cache_dtype),
             jax.ShapeDtypeStruct(vc.shape, cache_dtype),
-        ],
-        # uc/kc/vc are updated in place: inputs 3,4,5 -> outputs 2,3,4.
-        input_output_aliases={3: 2, 4: 3, 5: 4},
+        ] + scale_shapes,
+        input_output_aliases=aliases,
         scratch_shapes=[
             pltpu.VMEM((hist_slots, block_len, hd, nh_t), cache_dtype),  # khist
             pltpu.VMEM((hist_slots, block_len, hd, nh_t), cache_dtype),  # vhist
+        ] + scale_scratch + [
             pltpu.VMEM((2, blocks, 1, hd, nh_t), cache_dtype),  # kcol (2 slots)
             pltpu.VMEM((2, blocks, 1, hd, nh_t), cache_dtype),  # vcol (2 slots)
+        ] + scale_col_scratch + [
             pltpu.VMEM((lane_tiles, 1, 1, hd, nh_t), cache_dtype),  # kt staging
             pltpu.VMEM((lane_tiles, 1, 1, hd, nh_t), cache_dtype),  # vt staging
+        ] + scale_staging + [
             pltpu.VMEM((1, n_stream, width), jnp.float32),     # stream slice
             pltpu.VMEM((block_len, nh_t), jnp.float32),        # row logits
             pltpu.VMEM((hd, nh_t), jnp.float32),               # row attn acc
-            pltpu.SemaphoreType.DMA((hist_slots, 2, 4)),       # hist chunk sems
-            pltpu.SemaphoreType.DMA((2, 2)),                   # col slot sems
+            pltpu.SemaphoreType.DMA((hist_slots, n_parts, 4)),  # hist chunk sems
+            pltpu.SemaphoreType.DMA((2, n_parts)),             # col slot sems
             pltpu.SemaphoreType.DMA((1,)),                     # stream sem
-            pltpu.SemaphoreType.DMA((depth, 2)),               # write sems
+            pltpu.SemaphoreType.DMA((depth, n_parts)),         # write sems
         ],
         interpret=_interp(interpret),
         compiler_params=(pltpu.CompilerParams(has_side_effects=True)
                          if _HAS_PLTPU and not interpret else None),
-    )(scalars, seeds, x, uc, kc, vc, *weights, head_k, head_b, emb, stream)
+    )(scalars, seeds, x, uc, kc, vc, *scale_args, *weights,
+      head_k, head_b, emb, stream)
     return out

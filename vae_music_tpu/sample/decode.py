@@ -151,12 +151,18 @@ def make_decode_fn(
                     and top_k == 0)
                    or (mode == SampleMode.TOP_K and top_k > 0)
                    or (mode == SampleMode.TOP_P and top_p < 1.0))
+        # Mosaic requires the stream DMA's lane (width) dim 128-aligned on
+        # real TPUs; narrower models keep the fused layers but sample in XLA
+        # (interpret mode has no alignment constraint).
+        width_ok = bool(fused_interpret) or width % 128 == 0
         sample_in_kernel = (fused and prime_len == 0 and not return_logits
-                            and ok_mode)
+                            and ok_mode and width_ok)
     assert not (sample_in_kernel and not fused)
     assert not (sample_in_kernel and (prime_len > 0 or return_logits)), (
         "sample_in_kernel supports the unprimed, no-logits fast paths only")
     bins_p = -(-cfg.bins // 128) * 128  # head/emb padded to the lane size
+    quant = jnp.dtype(cache_dtype) == jnp.dtype(jnp.int8)
+    assert not (quant and not fused), "int8 KV caches are fused-kernel-only"
 
     def decode(params, rng, x_cond_stream=None, y_cond=None, prime=None):
         assert (prime is not None) == (prime_len > 0)
@@ -289,7 +295,7 @@ def make_decode_fn(
 
         # --- fused-kernel path: all layers of a step in one Pallas call ----
         def fused_scan_step(carry, t):
-            token, uc, kc, vc, step_rng = carry
+            token, uc, kc, vc, scales, step_rng = carry
             x = jnp.take(emb, token, axis=0)
             if y_cond is not None:
                 x = jnp.where(t == 0, y_cond[:, 0].astype(x.dtype), x)
@@ -300,18 +306,22 @@ def make_decode_fn(
             scalars = jnp.reshape(t, (1, 1)).astype(jnp.int32)
             from vae_music_tpu.ops.decode_pallas import fused_decode_step
 
-            x, uc, kc, vc = fused_decode_step(
+            outs = fused_decode_step(
                 scalars, x.astype(jnp.float32), uc, kc, vc, fused_weights,
+                kscale=scales[0] if quant else None,
+                vscale=scales[1] if quant else None,
                 depth=depth, n=n_samples, heads=heads, hd=hd, width=width,
                 blocks=blocks, block_len=block_len, patterns=patterns,
                 hist_slots=hslots, interpret=fused_interpret)
+            x, uc, kc, vc = outs[:4]
+            scales = tuple(outs[4:])
             logits = x @ out_k + out_b
             step_rng, sub = jax.random.split(step_rng)
             next_token = apply_prime(
                 sample_token(sub, logits, mode, temperature, top_k,
                              top_p), t)
             out = (next_token, logits) if return_logits else next_token
-            return (next_token, uc, kc, vc, step_rng), out
+            return (next_token, uc, kc, vc, scales, step_rng), out
 
         token0 = jnp.full((n_samples,), start_token, jnp.int32)
         if fused:
@@ -345,6 +355,18 @@ def make_decode_fn(
                 decode_cache_shape(depth, blocks, block_len, hd, nh, lt),
                 jnp.dtype(cache_dtype))
             vc0 = jnp.zeros_like(kc0)
+            if quant:
+                # int8 caches carry bf16 per-(position, lane) scale side
+                # caches (16x smaller than the values) through the scan.
+                from vae_music_tpu.ops.decode_pallas import (
+                    SCALE_DTYPE, decode_scale_cache_shape)
+
+                sshape = decode_scale_cache_shape(depth, blocks, block_len,
+                                                  nh, lt)
+                scales0 = (jnp.zeros(sshape, SCALE_DTYPE),
+                           jnp.zeros(sshape, SCALE_DTYPE))
+            else:
+                scales0 = ()
         if fused and sample_in_kernel:
             from vae_music_tpu.ops.decode_pallas import fused_decode_step_sample
 
@@ -385,28 +407,32 @@ def make_decode_fn(
             seeds2d = seeds[None, :]                         # (1, 2), invariant
 
             def sample_scan_step(carry, t):
-                x, uc, kc, vc = carry
+                x, uc, kc, vc, scales = carry
                 # The whole per-step XLA body is this reshape: block/offset
                 # arithmetic moved onto the kernel's scalar unit.
                 scalars = jnp.reshape(t, (1, 1)).astype(jnp.int32)
-                x, tok, uc, kc, vc = fused_decode_step_sample(
+                outs = fused_decode_step_sample(
                     scalars, seeds2d, x, uc, kc, vc, fused_weights,
                     head_k, head_b, emb_p, stream,
+                    kscale=scales[0] if quant else None,
+                    vscale=scales[1] if quant else None,
                     depth=depth, n=n_samples, heads=heads, hd=hd, width=width,
                     blocks=blocks, block_len=block_len, patterns=patterns,
                     mode=mode.value, top_k=top_k, top_p=top_p,
                     hist_slots=hslots, interpret=fused_interpret)
-                return (x, uc, kc, vc), tok[0]
+                x, tok, uc, kc, vc = outs[:5]
+                return (x, uc, kc, vc, tuple(outs[5:])), tok[0]
 
             # unroll MUST stay 1 here: an unrolled body defeats the
             # kernel's in-place cache aliasing, inserting full KV-cache
             # copies between the per-iteration kernel calls (measured
             # 55 -> 292 us/step at unroll=2).
-            _, sampled = jax.lax.scan(sample_scan_step, (x0, uc0, kc0, vc0),
+            _, sampled = jax.lax.scan(sample_scan_step,
+                                      (x0, uc0, kc0, vc0, scales0),
                                       jnp.arange(ctx_len))       # (ctx, N)
             return jnp.concatenate([token0[:, None], sampled.T], axis=1)
         if fused:
-            carry0 = (token0, uc0, kc0, vc0, rng)
+            carry0 = (token0, uc0, kc0, vc0, scales0, rng)
             _, outs = jax.lax.scan(fused_scan_step, carry0,
                                    jnp.arange(ctx_len))
         else:
