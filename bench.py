@@ -46,14 +46,21 @@ _PARTIAL: dict = {}
 
 def _emit_partial(signum, frame):  # pragma: no cover - signal path
     if _PARTIAL.get("value") is not None:
+        # Exit 0 WITH the partial artifact (marked as such inside the JSON)
+        # so a capture harness that gates on the return code still records
+        # the headline; with nothing measured yet, exit with the
+        # conventional 128+signum so the kill is not mistaken for success.
         _PARTIAL.setdefault("extra", {})["partial"] = (
             f"killed by signal {signum} before all measurements finished")
         print(json.dumps(_PARTIAL), flush=True)
-    sys.exit(0)
+        sys.exit(0)
+    sys.exit(128 + signum)
 
 
-for _sig in (signal.SIGTERM, signal.SIGINT):
-    signal.signal(_sig, _emit_partial)
+def _install_signal_insurance():
+    # Called from main() only — importing bench.py must not hijack Ctrl-C.
+    for sig in (signal.SIGTERM, signal.SIGINT):
+        signal.signal(sig, _emit_partial)
 
 
 def _load_baseline():
@@ -111,6 +118,7 @@ def main():
     from vae_music_tpu.models.vqvae import vqvae_encode
     from vae_music_tpu.sample.sampler import AncestralSampler
 
+    _install_signal_insurance()
     rtt = _measure_rtt()
 
     scfg = get_config("FULL_PIPELINE")

@@ -290,3 +290,35 @@ def test_compile_chain_batch_chunking():
     # unconditional chunked variant
     chain_u = sampler.compile_chain(4, with_labels=False, batch_chunk=2)
     assert chain_u(rng).shape == (4, vcfg.sample_length, 1)
+
+
+@pytest.mark.slow
+def test_compile_chain_batch_chunking_remainder():
+    """n_samples that is NOT a multiple of batch_chunk runs floor(n/chunk)
+    chunks plus one remainder-sized chain (r3 review fix: previously a
+    non-multiple silently fell through to the single oversized scan).  The
+    remainder chunk uses the (n_chunks+1)-th split key and the trailing
+    labels."""
+    vcfg = _vqvae_cfg()
+    scfg = SamplerConfig(vqvae=vcfg, prior_width=32, prior_depth=3,
+                         prior_heads=2, prior_blocks=4, genre_classes=10,
+                         conditioner=ConditionerConfig(residual_depth=2))
+    sampler = AncestralSampler.from_config(scfg, jax.random.PRNGKey(0))
+    y = jnp.array([0, 1, 2, 3, 4])
+    rng = jax.random.PRNGKey(11)
+
+    chunked = sampler.compile_chain(5, batch_chunk=2)
+    wav = np.asarray(chunked(rng, y))
+    assert wav.shape == (5, vcfg.sample_length, 1)
+
+    # full chunks match the standalone 2-chain; the remainder clip matches a
+    # standalone 1-chain at the extra split key with the trailing label
+    single2 = sampler.compile_chain(2, batch_chunk=0)
+    single1 = sampler.compile_chain(1, batch_chunk=0)
+    rngs = jax.random.split(rng, 3)
+    np.testing.assert_allclose(wav[:2], np.asarray(single2(rngs[0], y[:2])),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(wav[2:4], np.asarray(single2(rngs[1], y[2:4])),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(wav[4:], np.asarray(single1(rngs[2], y[4:])),
+                               rtol=1e-5, atol=1e-5)

@@ -146,3 +146,45 @@ def test_fsdp_composes_with_tensor_parallel():
     _, rm = ref(PriorTrainState.create(prior_params, tx), audio, labels,
                 jax.random.PRNGKey(0))
     np.testing.assert_allclose(float(m["loss"]), float(rm["loss"]), rtol=1e-5)
+
+
+def test_fsdp_adam_moments_match_param_placement_by_path():
+    """With TP base shardings + Adam, every mu/nu moment gets EXACTLY its
+    parameter's (TP x FSDP) placement — matched by tree path, not shape
+    (r3 review fix: two same-shape params with different TP placements must
+    not share a moment sharding, or jit reshards the moments every step)."""
+    vcfg, pcfg, vq_params, cbs, prior_params, audio, labels = _setup()
+    mesh = create_mesh((4, 2), devices=jax.devices()[:8])  # data x model
+    tp = prior_param_sharding(mesh, prior_params)
+
+    st = PriorTrainState.create(prior_params, optax.adam(1e-3))
+    st, shardings = shard_state(mesh, st, base_params=tp)
+
+    flat_p = {tuple(str(k) for k in path): sh
+              for path, sh in jax.tree_util.tree_flatten_with_path(
+                  shardings.params)[0]}
+    lens = sorted({len(k) for k in flat_p}, reverse=True)
+    matched = mismatched = 0
+    for path, sh in jax.tree_util.tree_flatten_with_path(
+            shardings.opt_state)[0]:
+        pk = tuple(str(k) for k in path)
+        for n in lens:
+            want = flat_p.get(pk[-n:]) if len(pk) >= n else None
+            if want is not None:
+                matched += 1
+                mismatched += want != sh
+                break
+    assert matched > 0 and mismatched == 0
+    # At least one moment actually carries the TP 'model' axis.
+    assert any("model" in [a for a in (sh.spec or ()) if a is not None]
+               for _, sh in jax.tree_util.tree_flatten_with_path(
+                   shardings.opt_state)[0])
+
+    # The Adam+TP+FSDP step runs and keeps the sharded placement.
+    step = make_prior_train_step_fsdp(vcfg, pcfg, vq_params, cbs, mesh,
+                                      shardings, donate=False)
+    new_st, _ = step(st, audio, labels, jax.random.PRNGKey(0))
+    for got, want in zip(jax.tree_util.tree_leaves(new_st.opt_state),
+                         jax.tree_util.tree_leaves(shardings.opt_state)):
+        if hasattr(got, "sharding"):
+            assert got.sharding == want

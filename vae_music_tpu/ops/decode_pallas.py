@@ -314,9 +314,9 @@ def _make_kernel(depth, n, heads, hd, width, blocks, block_len, patterns,
         # Row history beyond offset i is still unwritten this pass (positions
         # fill monotonically within a block), so its chunks need no DMA at
         # all — on average that halves the row-pattern reads.  Skipped
-        # chunks' V scratch is zero-filled (cheap VPU store) so the masked
-        # softmax's exact-zero weights multiply zeros, never stale VMEM.
-        # K needs no fill: masked logits are replaced by -1e9 regardless.
+        # chunks never touch the VPU either: their logits are staged as -1e9
+        # (the value the mask would apply) and the V accumulate is predicated
+        # on the same `cs < i` condition, so stale scratch is never read.
         n_chunks = 4 if block_len % 4 == 0 else 1
         chunk = block_len // n_chunks
 
@@ -570,7 +570,7 @@ def _make_kernel(depth, n, heads, hd, width, blocks, block_len, patterns,
                         attn_t = jnp.sum(jnp.expand_dims(w, 1) * _f32(v_hist),
                                          axis=0)
                         attn_t = attn_t * (b > 0).astype(attn_t.dtype)
-                    # This job's slot is consumed — refill it for job j+2.
+                    # Slot consumed — refill it for job j+hist_slots.
                     if jidx + hist_slots < len(hist_jobs):
                         hist_start(jidx + hist_slots)
                     jidx += 1

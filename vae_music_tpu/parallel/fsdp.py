@@ -87,18 +87,34 @@ def fsdp_state_sharding(mesh: Mesh, state: Any, axis: str = "data",
     if base_params is None:
         return fsdp_sharding(mesh, state, axis)
     params_sh = fsdp_sharding(mesh, state.params, axis, base=base_params)
-    by_shape = {}
-    for p_leaf, sh in zip(jax.tree_util.tree_leaves(state.params),
-                          jax.tree_util.tree_leaves(params_sh)):
-        by_shape.setdefault(p_leaf.shape, sh)
 
-    def opt_spec(leaf):
-        sh = by_shape.get(getattr(leaf, "shape", ()))
-        if sh is not None:
-            return sh
+    # Match optimizer moments to parameters BY TREE PATH (optax's mu/nu
+    # subtrees mirror the param tree, nested under e.g. (0, 'mu', ...)), not
+    # by shape: two same-shape params with different TP/FSDP placements must
+    # not share a moment sharding, or jit inserts a resharding collective
+    # for the mismatched moments on every step.  A path key is the param's
+    # path tuple; an opt leaf matches when a param path is a suffix of its
+    # own path AND the shapes agree (longest suffix wins).
+    def _key(path):
+        return tuple(str(p) for p in path)
+
+    by_path = {}
+    for (path, p_leaf), sh in zip(
+            jax.tree_util.tree_flatten_with_path(state.params)[0],
+            jax.tree_util.tree_leaves(params_sh)):
+        by_path[_key(path)] = (p_leaf.shape, sh)
+    suffix_lens = sorted({len(k) for k in by_path}, reverse=True)
+
+    def opt_spec(path, leaf):
+        pk = _key(path)
+        shape = getattr(leaf, "shape", ())
+        for n in suffix_lens:
+            hit = by_path.get(pk[-n:]) if len(pk) >= n else None
+            if hit is not None and hit[0] == shape:
+                return hit[1]
         return fsdp_sharding(mesh, leaf, axis)
 
-    opt_sh = jax.tree_util.tree_map(opt_spec, state.opt_state)
+    opt_sh = jax.tree_util.tree_map_with_path(opt_spec, state.opt_state)
     return state.replace(step=NamedSharding(mesh, P()), params=params_sh,
                          opt_state=opt_sh)
 

@@ -356,8 +356,9 @@ def make_decode_fn(
                 jnp.dtype(cache_dtype))
             vc0 = jnp.zeros_like(kc0)
             if quant:
-                # int8 caches carry bf16 per-(position, lane) scale side
-                # caches (16x smaller than the values) through the scan.
+                # int8 caches carry per-(position, lane) scale side caches
+                # (SCALE_DTYPE=f32, hd/4-fold smaller than the values at
+                # hd=16) through the scan.
                 from vae_music_tpu.ops.decode_pallas import (
                     SCALE_DTYPE, decode_scale_cache_shape)
 

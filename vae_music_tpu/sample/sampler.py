@@ -292,19 +292,33 @@ class AncestralSampler:
         import dataclasses
 
         chunk = self.BATCH_CHUNK if batch_chunk is None else batch_chunk
-        if chunk and n_samples > chunk and n_samples % chunk == 0:
+        if chunk and n_samples > chunk:
+            # Non-multiple batches run floor(n/chunk) sweet-spot chunks via
+            # lax.map plus ONE remainder-sized chain in the same program (a
+            # remainder too small/misaligned for the fused kernel simply
+            # takes the XLA decode path) — never a silent fall-through to
+            # the measured-slower single oversized scan.
             inner = self._chain_body(chunk, with_labels)
             n_chunks = n_samples // chunk
+            rem = n_samples - n_chunks * chunk
+            inner_rem = self._chain_body(rem, with_labels) if rem else None
 
             def chunked(rng, y_genre=None):
-                rngs = jax.random.split(rng, n_chunks)
+                rngs = jax.random.split(rng, n_chunks + 1)
+                y_full = None if y_genre is None else y_genre[:n_chunks * chunk]
                 if y_genre is None:
-                    wav = jax.lax.map(lambda r: inner(r, None), rngs)
+                    wav = jax.lax.map(lambda r: inner(r, None),
+                                      rngs[:n_chunks])
                 else:
                     wav = jax.lax.map(
                         lambda rv: inner(rv[0], rv[1]),
-                        (rngs, y_genre.reshape(n_chunks, chunk)))
-                return wav.reshape((n_samples,) + wav.shape[2:])
+                        (rngs[:n_chunks], y_full.reshape(n_chunks, chunk)))
+                wav = wav.reshape((n_chunks * chunk,) + wav.shape[2:])
+                if inner_rem is not None:
+                    y_rem = None if y_genre is None else y_genre[-rem:]
+                    wav = jnp.concatenate(
+                        [wav, inner_rem(rngs[-1], y_rem)], axis=0)
+                return wav
 
             if with_labels:
                 return jax.jit(chunked)

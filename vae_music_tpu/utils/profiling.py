@@ -79,7 +79,9 @@ def timed(fn: Callable, *args, iters: int = 10, warmup: int = 1,
     for _ in range(iters):
         out = fn(*args, **kwargs)
     force_completion(out)
-    return (time.time() - t0 - rtt) / iters, out
+    # Floor at 0: work cheaper than the RTT jitter (e.g. iters=1 on the
+    # tunneled backend) must not report a negative per-call time.
+    return max(time.time() - t0 - rtt, 0.0) / iters, out
 
 
 def enable_nan_checks(enable: bool = True) -> None:

@@ -28,6 +28,7 @@ Usage:
 
 from __future__ import annotations
 
+import itertools
 import os
 import socket
 import struct
@@ -170,10 +171,17 @@ def _pcm16_wav(waveform: np.ndarray, sample_rate: int) -> bytes:
 class TBEventWriter:
     """Append TensorBoard events to ``<log_dir>/events.out.tfevents.*``."""
 
+    _counter = itertools.count()
+
     def __init__(self, log_dir: str, suffix: str = ""):
         os.makedirs(log_dir, exist_ok=True)
         host = socket.gethostname()
-        name = f"events.out.tfevents.{int(time.time())}.{host}{suffix}"
+        # pid + per-process counter disambiguate writers created within the
+        # same second (e.g. a VQVAEMonitor and a PriorMonitor sharing an
+        # out_dir) — two streams appended to one file would interleave tags
+        # and file_version records (TF's writer does the same).
+        uid = f"{os.getpid()}.{next(self._counter)}"
+        name = f"events.out.tfevents.{int(time.time())}.{host}.{uid}{suffix}"
         self.path = os.path.join(log_dir, name)
         self._f = open(self.path, "ab")
         self._write(_event(None, file_version="brain.Event:2"))
