@@ -45,8 +45,11 @@ def main():
 
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 256
     scfg = get_config("FULL_PIPELINE")
+    # Match bench.py's serving configuration so the stage breakdown sums to
+    # the headline chain time (bf16 caches AND bf16 conv stacks).
     sampler = AncestralSampler.from_config(scfg, jax.random.PRNGKey(0),
-                                           cache_dtype="bfloat16")
+                                           cache_dtype="bfloat16",
+                                           serve_dtype="bfloat16")
     vcfg = scfg.vqvae
     y = jnp.zeros((batch,), jnp.int32)
     rng = jax.random.PRNGKey(1)
