@@ -834,8 +834,17 @@ def fused_decode_step(
             pltpu.SemaphoreType.DMA((depth, n_parts)),         # write sems
         ],
         interpret=_interp(interpret),
-        compiler_params=(pltpu.CompilerParams(has_side_effects=True)
-                         if _HAS_PLTPU and not interpret else None),
+        compiler_params=(pltpu.CompilerParams(
+            has_side_effects=True,
+            # Raise the compiler's 16 MiB scoped-VMEM ceiling ONLY for wide
+            # geometries: width 512 needs 16.2 MiB for the per-layer MLP
+            # weight stages and is rejected outright at the default, while
+            # v5e has 128 MiB of physical VMEM.  The raise is gated on
+            # width because a larger budget changes Mosaic's scheduling for
+            # kernels that DID fit: the flagship width-128 decode measured
+            # 41.7 -> 51.2 us/step under a blanket 64 MiB limit (r3 A/B).
+            vmem_limit_bytes=(64 * 1024 * 1024 if width >= 256 else None),
+        ) if _HAS_PLTPU and not interpret else None),
     )(scalars, x, uc, kc, vc, *scale_args, *weights)
     return out
 
@@ -966,8 +975,17 @@ def fused_decode_step_sample(
             pltpu.SemaphoreType.DMA((depth, n_parts)),         # write sems
         ],
         interpret=_interp(interpret),
-        compiler_params=(pltpu.CompilerParams(has_side_effects=True)
-                         if _HAS_PLTPU and not interpret else None),
+        compiler_params=(pltpu.CompilerParams(
+            has_side_effects=True,
+            # Raise the compiler's 16 MiB scoped-VMEM ceiling ONLY for wide
+            # geometries: width 512 needs 16.2 MiB for the per-layer MLP
+            # weight stages and is rejected outright at the default, while
+            # v5e has 128 MiB of physical VMEM.  The raise is gated on
+            # width because a larger budget changes Mosaic's scheduling for
+            # kernels that DID fit: the flagship width-128 decode measured
+            # 41.7 -> 51.2 us/step under a blanket 64 MiB limit (r3 A/B).
+            vmem_limit_bytes=(64 * 1024 * 1024 if width >= 256 else None),
+        ) if _HAS_PLTPU and not interpret else None),
     )(scalars, seeds, x, uc, kc, vc, *scale_args, *weights,
       head_k, head_b, emb, stream)
     return out
