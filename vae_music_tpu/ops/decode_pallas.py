@@ -178,9 +178,11 @@ def decode_pallas_available(n_samples: int = LANE, heads: int = 1) -> bool:
 # over every (l, hd, nh_t) history element on the VPU and (b) doubling the
 # DMA part count (4 semaphore waits per history job instead of 2): after the
 # r3 prefetch pipeline the kernel is balanced, not purely DMA-bound, so the
-# convert lands on the critical path.  bf16 stays the production default;
-# int8 remains available (cache_dtype="int8") for geometries with larger hd
-# where the scale overhead amortizes — measure per shape before enabling.
+# convert lands on the critical path.  bf16 stays the production default.
+# The large-hd hypothesis was tested and refuted (scripts/hd_lab.py,
+# width-512 ctx-896: int8/bf16 = 1.32x/1.49x/1.85x at hd 16/64/128 — the
+# convert pass scales with the values, so bigger hd is WORSE); int8 remains
+# available (cache_dtype="int8") purely as a cache-capacity option.
 SCALE_DTYPE = jnp.float32
 
 
