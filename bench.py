@@ -113,12 +113,30 @@ def _measure_rtt():
     return best
 
 
+# Wall-clock budget for the optional (non-headline) measurements.  On a
+# healthy chip the whole run finishes in ~10 min so this never triggers; on a
+# contended/slow tunnel day (observed: a trivial first jit taking ~5 min to
+# clear the remote queue) it keeps the run from dying mid-way with nothing —
+# once the headline is secured, any section that would start past the budget
+# is skipped and recorded in extra["budget_skipped"].
+BENCH_BUDGET_S = float(os.environ.get("VMT_BENCH_BUDGET_S", 2700))
+
+
 def main():
     from vae_music_tpu.configs import get_config
     from vae_music_tpu.models.vqvae import vqvae_encode
     from vae_music_tpu.sample.sampler import AncestralSampler
 
     _install_signal_insurance()
+    t_start = time.time()
+
+    def budget_ok(section: str) -> bool:
+        if time.time() - t_start < BENCH_BUDGET_S:
+            return True
+        _PARTIAL.setdefault("extra", {}).setdefault(
+            "budget_skipped", []).append(section)
+        return False
+
     rtt = _measure_rtt()
 
     scfg = get_config("FULL_PIPELINE")
@@ -183,21 +201,24 @@ def main():
     # Batch 512 (auto-chunked into sweet-spot chains by compile_chain, r3):
     # throughput must be monotone in batch size — the r2 single-scan 512
     # program regressed to 32.6k clips/s.
-    y512 = jnp.zeros((512,), jnp.int32)
-    chain512 = sampler.compile_chain(512)
-    wav512 = chain512(jax.random.PRNGKey(1), y512)
-    _ = float(jnp.sum(wav512))
-    iters512 = 12
-    t0 = time.time()
-    for i in range(iters512):
-        wav512 = chain512(jax.random.PRNGKey(2 + i), y512)
-    _ = float(jnp.sum(wav512))
-    dt512 = (time.time() - t0 - rtt) / iters512
-    clips_512 = 512 * vcfg.sample_length / SAMPLE_RATE / dt512
-    _PARTIAL["extra"].update({
-        "clips_per_sec_b512_chunked": round(clips_512, 1),
-        "b512_over_b256": round(clips_512 / clips_per_sec, 3),
-    })
+    if budget_ok("b512"):
+        y512 = jnp.zeros((512,), jnp.int32)
+        chain512 = sampler.compile_chain(512)
+        wav512 = chain512(jax.random.PRNGKey(1), y512)
+        _ = float(jnp.sum(wav512))
+        iters512 = 12
+        t0 = time.time()
+        for i in range(iters512):
+            wav512 = chain512(jax.random.PRNGKey(2 + i), y512)
+        _ = float(jnp.sum(wav512))
+        dt512 = (time.time() - t0 - rtt) / iters512
+        clips_512 = 512 * vcfg.sample_length / SAMPLE_RATE / dt512
+        _PARTIAL["extra"].update({
+            "clips_per_sec_b512_chunked": round(clips_512, 1),
+            "b512_over_b256": round(clips_512 / clips_per_sec, 3),
+        })
+    else:
+        chain512 = wav512 = None
 
     # MFU / roofline for the whole chain (XLA's own cost model).
     flops, hbm_bytes = _cost_analysis(chain.lower(jax.random.PRNGKey(1), y)
@@ -231,18 +252,19 @@ def main():
         enc_dt = (time.time() - t0 - rtt) / reps
         return sum(x.shape[0] * zl for zl in cfg.z_lengths) / enc_dt
 
-    tokens_per_sec = measure_encode(vcfg)           # auto: fused VQ kernel on TPU
-    tokens_per_sec_xla = measure_encode(vcfg, use_pallas=False)
-    tokens_per_sec_bf16 = measure_encode(
-        dataclasses.replace(vcfg, dtype="bfloat16"))
-    _PARTIAL["extra"].update({
-        "encode_tokens_per_sec": round(tokens_per_sec),
-        "encode_tokens_per_sec_xla": round(tokens_per_sec_xla),
-        "encode_tokens_per_sec_bf16": round(tokens_per_sec_bf16),
-        "encode_vs_baseline": (
-            round(tokens_per_sec / baseline["encode_tokens_per_sec"], 2)
-            if baseline else 0.0),
-    })
+    if budget_ok("encode"):
+        tokens_per_sec = measure_encode(vcfg)       # auto: dispatch winner
+        tokens_per_sec_xla = measure_encode(vcfg, use_pallas=False)
+        tokens_per_sec_bf16 = measure_encode(
+            dataclasses.replace(vcfg, dtype="bfloat16"))
+        _PARTIAL["extra"].update({
+            "encode_tokens_per_sec": round(tokens_per_sec),
+            "encode_tokens_per_sec_xla": round(tokens_per_sec_xla),
+            "encode_tokens_per_sec_bf16": round(tokens_per_sec_bf16),
+            "encode_vs_baseline": (
+                round(tokens_per_sec / baseline["encode_tokens_per_sec"], 2)
+                if baseline else 0.0),
+        })
 
     # Isolated VQ assignment+EMA: fused Pallas kernel vs the XLA path, at the
     # flagship encode row count.  Timed with an on-device fori_loop (REPS
@@ -278,7 +300,7 @@ def main():
         return best
 
     vq_us = {}
-    if vq_pallas_available():
+    if vq_pallas_available() and budget_ok("vq_kernel"):
         st = init_codebook(jax.random.PRNGKey(1), vcfg.latent_dim,
                            vcfg.codebook_size)
         flat = jax.random.normal(jax.random.PRNGKey(2),
@@ -311,7 +333,7 @@ def main():
     # serving buffers are released first so the 202M/282M train states fit.
     # Non-fatal: serving stays the headline even if the train bench trips.
     train_rows = []
-    if os.environ.get("VMT_SKIP_TRAIN_BENCH") != "1":
+    if os.environ.get("VMT_SKIP_TRAIN_BENCH") != "1" and budget_ok("train"):
         del chain, wav, chain512, wav512, sampler
         try:
             import gc
