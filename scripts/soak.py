@@ -1,0 +1,582 @@
+"""Soak run: train the flagship pipeline to a REAL artifact and generate from it.
+
+The reference's entire use-case is notebooks -> fit() -> VQVAESampler.sample()
+-> audible music (/root/reference/Sampler.py:72-109, utils/tf_utils.py:156-226,
+README.md:6 naming the lost trainer notebook as the entry point).  Every unit
+test in this repo proves a part; this script proves the SYSTEM over a
+multi-thousand-step horizon: long-horizon EMA/dead-code-restart dynamics,
+monitor cadence, TB event streams, a mid-run SIGKILL + exact Orbax resume, and
+finally generation through the compiled serving chain from the TRAINED
+weights, with quality evidence recorded (docs/SOAK.md).
+
+Phases (each a separate process so the orchestrator can genuinely kill one):
+
+  python scripts/soak.py vqvae    --steps 3000    # flagship GTZAN_VQVAE
+  python scripts/soak.py prior    --level 1 ...   # top prior (SMALL_PRIOR)
+  python scripts/soak.py prior    --level 0 ...   # upsampler (SMALL_UPSAMPLER)
+  python scripts/soak.py generate                 # trained chain -> WAVs + QC
+  python scripts/soak.py plots                    # JSONL logs -> docs/soak/*.png
+  python scripts/soak.py run                      # full orchestration incl. kills
+
+Data: the deterministic on-device synthetic corpus (data/audio.py) — GTZAN is
+not on disk in this environment; the corpus is regenerable from its seeds.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import shutil
+import signal
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+# Corpus seeds — fixed so every phase (and any rerun) sees identical data.
+TRAIN_SEED, VAL_SEED = 42, 43
+TRAIN_N, VAL_N = 1536, 64
+
+
+def _corpus(sample_length: int):
+    from vae_music_tpu.data.audio import synthetic_corpus_device
+
+    x, y = synthetic_corpus_device(TRAIN_SEED, TRAIN_N, sample_length)
+    xv, yv = synthetic_corpus_device(VAL_SEED, VAL_N, sample_length)
+    return x, y, xv, yv
+
+
+def _vq_config(args):
+    """Flagship config, optionally shrunk (same code path) for CPU smoke."""
+    from vae_music_tpu.configs import get_config
+
+    cfg = get_config("GTZAN_VQVAE")
+    if args.sample_length:
+        cfg = dataclasses.replace(cfg, sample_length=args.sample_length).validate()
+    return cfg
+
+
+def _phase_summary(out_dir: str, name: str, record: dict) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, f"{name}_summary.json")
+    record["time"] = time.time()
+    with open(path, "w") as f:
+        json.dump(record, f, indent=2)
+    print(f"[soak:{name}] {json.dumps(record)}", flush=True)
+
+
+def _train_loop(state, step_fn, x_dev, y_dev, monitor, ckpt, *, steps: int,
+                batch: int, seed: int, rng, log_every: int,
+                labels: bool) -> tuple:
+    """Step-capped loop with resume-deterministic data order.
+
+    Batch b of epoch e is ``perm(e)[b*batch:(b+1)*batch]`` with perm seeded by
+    the epoch index, so a killed-and-resumed run continues on exactly the data
+    the uninterrupted run would have seen (the reference cannot do this — its
+    monitor step counter is not even restored, monitors.py:38-40).
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    spe = TRAIN_N // batch  # steps per epoch
+    step = int(state.step)
+    cur_epoch, perm = -1, None
+    t0, step0 = time.time(), step
+    while step < steps:
+        epoch, b = divmod(step, spe)
+        if epoch != cur_epoch:
+            if cur_epoch >= 0 and monitor is not None:
+                if labels:
+                    monitor.on_epoch_end(cur_epoch, state,
+                                         jax.random.fold_in(rng, 10_000 + cur_epoch))
+                else:
+                    monitor.on_epoch_end(cur_epoch, state)
+            perm = np.random.default_rng(seed * 100_003 + epoch).permutation(TRAIN_N)
+            cur_epoch = epoch
+        idx = jnp.asarray(perm[b * batch : (b + 1) * batch])
+        xb = jnp.take(x_dev, idx, axis=0)
+        if labels:
+            yb = jnp.take(y_dev, idx, axis=0)
+            state, metrics = step_fn(state, xb, yb, rng)
+        else:
+            state, metrics = step_fn(state, xb, rng)
+        step += 1
+        if step % log_every == 0 or step == steps:
+            host = {k: float(v) for k, v in jax.device_get(metrics).items()}
+            if not np.isfinite(host["loss"]):
+                raise RuntimeError(f"non-finite loss at step {step}: {host}")
+            if monitor is not None:
+                monitor.on_step(step, host)
+    if monitor is not None:
+        if labels:
+            monitor.on_epoch_end(cur_epoch, state,
+                                 jax.random.fold_in(rng, 10_000 + cur_epoch))
+        else:
+            monitor.on_epoch_end(cur_epoch, state)
+    sps = (step - step0) / max(time.time() - t0, 1e-9)
+    ckpt.save(int(state.step), state)
+    return state, sps
+
+
+def phase_vqvae(args) -> None:
+    import jax
+    import optax
+
+    from vae_music_tpu.models.vqvae import init_vqvae
+    from vae_music_tpu.train.checkpoint import CheckpointManager
+    from vae_music_tpu.train.loop import make_inspect_fn
+    from vae_music_tpu.train.monitors import VQVAEMonitor
+    from vae_music_tpu.train.state import VQVAETrainState
+    from vae_music_tpu.train.vqvae_step import make_vqvae_eval_step, make_vqvae_train_step
+    from vae_music_tpu.train.metrics import codebook_usage_report
+
+    cfg = _vq_config(args)
+    out = os.path.join(args.out_dir, "vqvae")
+    x, _y, xv, _yv = _corpus(cfg.sample_length)
+
+    params, codebooks = init_vqvae(jax.random.PRNGKey(0), cfg)
+    state = VQVAETrainState.create(params, codebooks, optax.adam(args.lr))
+    ckpt = CheckpointManager(os.path.join(out, "ckpt"))
+    resumed_from = ckpt.latest_step()
+    if resumed_from is not None:
+        state = ckpt.restore(state)
+        print(f"[soak:vqvae] resumed from step {int(state.step)}", flush=True)
+
+    monitor = VQVAEMonitor(
+        out, ckpt_manager=ckpt, eval_fn=make_vqvae_eval_step(cfg),
+        val_batch=xv[:32], inspect_fn=make_inspect_fn(cfg),
+        inspect_batch=xv[:4], ckpt_interval=4, val_interval=2,
+        inspect_interval=8, tensorboard=True)
+    step_fn = make_vqvae_train_step(cfg)
+    state, sps = _train_loop(state, step_fn, x, None, monitor, ckpt,
+                             steps=args.steps, batch=args.batch,
+                             seed=0, rng=jax.random.PRNGKey(1),
+                             log_every=args.log_every, labels=False)
+    import numpy as np
+
+    usage = [codebook_usage_report(np.asarray(cb.N_t))
+             for cb in state.codebooks]
+    _phase_summary(out, "vqvae", {
+        "final_step": int(state.step), "steps_per_sec": round(sps, 2),
+        "resumed_from": resumed_from,
+        "codebook_usage": usage,
+    })
+
+
+def phase_prior(args) -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from vae_music_tpu.configs import get_config
+    from vae_music_tpu.train.checkpoint import CheckpointManager
+    from vae_music_tpu.train.monitors import PriorMonitor
+    from vae_music_tpu.train.prior_step import (
+        default_prior_optimizer,
+        init_prior,
+        make_prior_eval_step,
+        make_prior_train_step,
+    )
+    from vae_music_tpu.train.state import PriorTrainState
+
+    vcfg = _vq_config(args)
+    pcfg = get_config("SMALL_PRIOR" if args.level == vcfg.levels - 1
+                      else "SMALL_UPSAMPLER")
+    assert pcfg.level == args.level
+    out = os.path.join(args.out_dir, f"prior{args.level}")
+
+    # Frozen VQ-VAE from the trained soak checkpoint (prior.py:259 semantics).
+    restored = CheckpointManager(
+        os.path.join(args.out_dir, "vqvae", "ckpt")).restore_params()
+    vq_params, codebooks = restored["params"], restored["codebooks"]
+    print(f"[soak:prior{args.level}] frozen VQ-VAE from step "
+          f"{int(restored['step'])}", flush=True)
+
+    x, y, xv, yv = _corpus(vcfg.sample_length)
+    _, params = init_prior(jax.random.PRNGKey(2 + args.level), vcfg, pcfg)
+    state = PriorTrainState.create(params, default_prior_optimizer(pcfg))
+    ckpt = CheckpointManager(os.path.join(out, "ckpt"))
+    resumed_from = ckpt.latest_step()
+    if resumed_from is not None:
+        state = ckpt.restore(state)
+        print(f"[soak:prior{args.level}] resumed from step {int(state.step)}",
+              flush=True)
+
+    monitor = PriorMonitor(
+        out, ckpt_manager=ckpt,
+        eval_fn=make_prior_eval_step(vcfg, pcfg, vq_params, codebooks),
+        val_batch=(xv[:32], yv[:32]), ckpt_interval=4, val_interval=2,
+        tensorboard=True)
+    step_fn = make_prior_train_step(vcfg, pcfg, vq_params, codebooks)
+    state, sps = _train_loop(state, step_fn, x, y, monitor, ckpt,
+                             steps=args.steps, batch=args.batch,
+                             seed=1 + args.level, rng=jax.random.PRNGKey(3),
+                             log_every=args.log_every, labels=True)
+    audio, labels = xv[:32], yv[:32]
+    final_val = {k: float(v) for k, v in monitor.eval_fn(
+        state, audio, labels).items()}
+    _phase_summary(out, f"prior{args.level}", {
+        "final_step": int(state.step), "steps_per_sec": round(sps, 2),
+        "resumed_from": resumed_from, "final_val": final_val,
+    })
+
+
+def phase_generate(args) -> None:
+    """Generate from the TRAINED weights through the compiled serving chain
+    and record quality evidence."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from vae_music_tpu.configs import get_config
+    from vae_music_tpu.models.vqvae import init_vqvae, vqvae_encode
+    from vae_music_tpu.sample.sampler import AncestralSampler
+    from vae_music_tpu.train.checkpoint import (
+        CheckpointManager,
+        restore_sampler,
+        save_pipeline_artifact,
+    )
+    from vae_music_tpu.train.metrics import codebook_usage_report, write_wav
+    from vae_music_tpu.train.state import VQVAETrainState
+    from vae_music_tpu.train.vqvae_step import make_vqvae_eval_step
+    from vae_music_tpu.utils.tb_events import TBEventWriter
+
+    scfg = get_config("FULL_PIPELINE")
+    if args.sample_length:
+        scfg = dataclasses.replace(scfg, vqvae=_vq_config(args))
+    vcfg = scfg.vqvae
+    out = os.path.join(args.out_dir, "generate")
+    os.makedirs(out, exist_ok=True)
+    _x, _y, xv, yv = _corpus(vcfg.sample_length)
+
+    sampler = AncestralSampler.from_config(scfg, jax.random.PRNGKey(0))
+    # --- held-out reconstruction: trained vs random-init VQ-VAE -------------
+    eval_step = make_vqvae_eval_step(vcfg)
+    init_params, init_cbs = init_vqvae(jax.random.PRNGKey(0), vcfg)
+    init_state = VQVAETrainState.create(init_params, init_cbs, optax.sgd(0.0))
+    recon_init = {k: float(v) for k, v in eval_step(init_state, xv[:32]).items()}
+
+    restore_sampler(
+        sampler,
+        vqvae_ckpt=os.path.join(args.out_dir, "vqvae", "ckpt"),
+        prior_ckpts=[os.path.join(args.out_dir, f"prior{l}", "ckpt")
+                     for l in range(vcfg.levels)])
+    trained_state = VQVAETrainState.create(sampler.vqvae_params,
+                                           sampler.codebooks, optax.sgd(0.0))
+    recon_trained = {k: float(v) for k, v in
+                     eval_step(trained_state, xv[:32]).items()}
+
+    usage = [codebook_usage_report(np.asarray(cb.N_t))
+             for cb in sampler.codebooks]
+
+    # --- token statistics: teacher-forced data codes vs sampled codes ------
+    def marginal_entropy(codes: np.ndarray, bins: int) -> float:
+        hist = np.bincount(codes.reshape(-1), minlength=bins).astype(np.float64)
+        p = hist / hist.sum()
+        return float(-(p[p > 0] * np.log(p[p > 0])).sum())
+
+    zs_data = vqvae_encode(sampler.vqvae_params, sampler.codebooks, vcfg,
+                           xv[:32])
+    data_entropy = [marginal_entropy(np.asarray(z), vcfg.codebook_size)
+                    for z in zs_data]
+
+    n = args.n_samples
+    y_genre = jnp.asarray(np.arange(n) % 10, jnp.int32)
+    t0 = time.time()
+    codes = sampler.sample_codes(n, jax.random.PRNGKey(7), y_genre)
+    sample_entropy = [marginal_entropy(np.asarray(z), vcfg.codebook_size)
+                      for z in codes]
+    wav = np.asarray(sampler._vq_decoder(0)(sampler.vqvae_params,
+                                            sampler.codebooks, codes[0]))
+    gen_dt = time.time() - t0
+
+    tb = TBEventWriter(os.path.join(out, "tb"))
+    for i in range(min(n, 8)):
+        write_wav(os.path.join(out, f"sample{i}_genre{int(y_genre[i])}.wav"),
+                  wav[i], 3000)
+        tb.audio(f"generated/sample{i}", wav[i], 3000, i)
+    tb.flush()
+
+    # --- params-only artifact for bench.py (trained-weights benchmarks) ----
+    artifact_dir = os.path.abspath(args.artifact_dir)
+    if os.path.exists(artifact_dir):
+        shutil.rmtree(artifact_dir)
+    save_pipeline_artifact(artifact_dir, sampler.vqvae_params,
+                           sampler.codebooks, sampler.prior_params)
+
+    prior_val = {}
+    for l in range(vcfg.levels):
+        p = os.path.join(args.out_dir, f"prior{l}", f"prior{l}_summary.json")
+        if os.path.exists(p):
+            with open(p) as f:
+                prior_val[f"level{l}"] = json.load(f).get("final_val")
+
+    _phase_summary(out, "generate", {
+        "n_samples": n,
+        "generate_wall_sec": round(gen_dt, 2),
+        "recon_init": recon_init,
+        "recon_trained": recon_trained,
+        "recon_mse_improvement": round(
+            recon_init["recon_loss"] / max(recon_trained["recon_loss"], 1e-9), 2)
+        if "recon_loss" in recon_init else None,
+        "codebook_usage": usage,
+        "data_token_entropy": data_entropy,
+        "sampled_token_entropy": sample_entropy,
+        "prior_final_val": prior_val,
+        "artifact": artifact_dir,
+        "wav_rms": [float(np.sqrt((wav[i] ** 2).mean()))
+                    for i in range(min(n, 8))],
+    })
+
+
+def phase_plots(args) -> None:
+    """Render training curves from the JSONL logs into docs/soak/."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    dest = os.path.join(REPO, "docs", "soak")
+    os.makedirs(dest, exist_ok=True)
+
+    def rows(path):
+        if not os.path.exists(path):
+            return []
+        with open(path) as f:
+            return [json.loads(l) for l in f if l.strip()]
+
+    def curve(ax, rows_, key, label, **kw):
+        pts = [(r["step"], r[key]) for r in rows_ if key in r]
+        if pts:
+            ax.plot([p[0] for p in pts], [p[1] for p in pts], label=label, **kw)
+
+    # VQ-VAE: loss curves + codebook health.
+    vq = os.path.join(args.out_dir, "vqvae")
+    tr = rows(os.path.join(vq, "vqvae_train.jsonl"))
+    va = rows(os.path.join(vq, "vqvae_val.jsonl"))
+    if tr:
+        fig, axes = plt.subplots(1, 3, figsize=(15, 4))
+        for key in ("loss", "recon_loss", "spectral_loss", "commit_loss"):
+            curve(axes[0], tr, key, key)
+            curve(axes[0], va, f"val_{key}", f"val_{key}", linestyle="--")
+        axes[0].set_title("VQ-VAE losses")
+        axes[0].set_xlabel("step")
+        axes[0].set_yscale("log")
+        axes[0].legend(fontsize=7)
+        for lv in range(4):
+            curve(axes[1], va, f"codebook{lv}_codes_in_use", f"L{lv} in use")
+            curve(axes[2], va, f"codebook{lv}_running_entropy", f"L{lv} entropy")
+        axes[1].set_title("codebook codes in use")
+        axes[2].set_title("codebook running entropy")
+        for ax in axes[1:]:
+            ax.set_xlabel("step")
+            ax.legend(fontsize=8)
+        fig.tight_layout()
+        fig.savefig(os.path.join(dest, "vqvae_curves.png"), dpi=110)
+        plt.close(fig)
+
+    # Priors: loss / perplexity / accuracy.
+    fig, axes = plt.subplots(1, 3, figsize=(15, 4))
+    for lv in (0, 1):
+        pr = os.path.join(args.out_dir, f"prior{lv}")
+        tr = rows(os.path.join(pr, "prior_train.jsonl"))
+        va = rows(os.path.join(pr, "prior_val.jsonl"))
+        curve(axes[0], tr, "loss", f"L{lv} train")
+        curve(axes[0], va, "val_loss", f"L{lv} val", linestyle="--")
+        curve(axes[1], tr, "perplexity", f"L{lv} train")
+        curve(axes[1], va, "val_perplexity", f"L{lv} val", linestyle="--")
+        curve(axes[2], tr, "accuracy", f"L{lv} train")
+        curve(axes[2], va, "val_accuracy", f"L{lv} val", linestyle="--")
+    axes[0].set_title("prior token CE loss")
+    axes[1].set_title("prior perplexity")
+    axes[1].set_yscale("log")
+    axes[2].set_title("prior next-token accuracy")
+    for ax in axes:
+        ax.set_xlabel("step")
+        ax.legend(fontsize=8)
+    fig.tight_layout()
+    fig.savefig(os.path.join(dest, "prior_curves.png"), dpi=110)
+    plt.close(fig)
+
+    # Copy the run record, phase summaries and a few generated WAVs.
+    for name in ("SOAK_RUN.json",):
+        p = os.path.join(args.out_dir, name)
+        if os.path.exists(p):
+            shutil.copy(p, dest)
+    for sub, name in (("vqvae", "vqvae_summary.json"),
+                      ("prior0", "prior0_summary.json"),
+                      ("prior1", "prior1_summary.json"),
+                      ("generate", "generate_summary.json")):
+        p = os.path.join(args.out_dir, sub, name)
+        if os.path.exists(p):
+            shutil.copy(p, dest)
+    gen = os.path.join(args.out_dir, "generate")
+    if os.path.isdir(gen):
+        for f in sorted(os.listdir(gen)):
+            if f.endswith(".wav") and f < "sample4":
+                shutil.copy(os.path.join(gen, f), dest)
+    print(f"[soak:plots] wrote {dest}", flush=True)
+
+
+# ---------------------------------------------------------------------------
+# Orchestrator: run every phase as a subprocess, SIGKILL two of them mid-run,
+# verify the resumes, and record the whole run.
+# ---------------------------------------------------------------------------
+
+
+def _latest_ckpt_step(ckpt_dir: str):
+    if not os.path.isdir(ckpt_dir):
+        return None
+    steps = [int(d) for d in os.listdir(ckpt_dir) if d.isdigit()]
+    return max(steps) if steps else None
+
+
+def _spawn(phase_args, log_path):
+    os.makedirs(os.path.dirname(log_path), exist_ok=True)
+    logf = open(log_path, "a")
+    return subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__)] + phase_args,
+        stdout=logf, stderr=subprocess.STDOUT, cwd=REPO), logf
+
+
+def _run_with_kill(phase_args, ckpt_dir, kill_after_step, log_path,
+                   poll_s=5.0, timeout_s=7200):
+    """Start the phase, SIGKILL it once a checkpoint >= kill_after_step
+    exists, then rerun the identical command to completion (auto-resume).
+    Returns the kill/resume evidence record."""
+    record = {"cmd": phase_args, "killed_at_ckpt": None}
+    proc, logf = _spawn(phase_args, log_path)
+    t0 = time.time()
+    try:
+        while proc.poll() is None:
+            step = _latest_ckpt_step(ckpt_dir)
+            if step is not None and step >= kill_after_step:
+                time.sleep(2)  # clear of any in-flight Orbax finalize
+                proc.kill()
+                proc.wait()
+                record["killed_at_ckpt"] = step
+                print(f"[soak:run] SIGKILLed {' '.join(phase_args)} at "
+                      f"ckpt step {step}", flush=True)
+                break
+            if time.time() - t0 > timeout_s:
+                proc.kill()
+                proc.wait()
+                raise RuntimeError(f"phase timed out: {phase_args}")
+            time.sleep(poll_s)
+    finally:
+        logf.close()
+    if record["killed_at_ckpt"] is None and proc.returncode not in (0, None):
+        raise RuntimeError(f"phase failed rc={proc.returncode}: {phase_args} "
+                           f"(see {log_path})")
+    # Resume to completion (same command — phases auto-resume).
+    proc, logf = _spawn(phase_args, log_path)
+    rc = proc.wait(timeout=timeout_s)
+    logf.close()
+    if rc != 0:
+        raise RuntimeError(f"resume failed rc={rc}: {phase_args} (see {log_path})")
+    record["resumed_ok"] = True
+    return record
+
+
+def phase_run(args) -> None:
+    out = os.path.abspath(args.out_dir)
+    os.makedirs(out, exist_ok=True)
+    logd = os.path.join(out, "logs")
+    run = {"started": time.time(), "phases": {}}
+
+    common = ["--out_dir", out, "--batch", str(args.batch),
+              "--log_every", str(args.log_every),
+              "--sample_length", str(args.sample_length),
+              "--corpus_n", str(args.corpus_n)]
+
+    # Phase A: VQ-VAE with a genuine mid-run SIGKILL + resume.
+    t0 = time.time()
+    run["phases"]["vqvae"] = _run_with_kill(
+        ["vqvae", "--steps", str(args.vqvae_steps), "--lr", str(args.lr)]
+        + common,
+        os.path.join(out, "vqvae", "ckpt"),
+        kill_after_step=max(args.vqvae_steps // 3, 1),
+        log_path=os.path.join(logd, "vqvae.log"))
+    run["phases"]["vqvae"]["wall_s"] = round(time.time() - t0, 1)
+
+    # Phase B: top prior (killed + resumed too), then the upsampler straight.
+    t0 = time.time()
+    run["phases"]["prior1"] = _run_with_kill(
+        ["prior", "--level", "1", "--steps", str(args.prior_steps)] + common,
+        os.path.join(out, "prior1", "ckpt"),
+        kill_after_step=max(args.prior_steps // 3, 1),
+        log_path=os.path.join(logd, "prior1.log"))
+    run["phases"]["prior1"]["wall_s"] = round(time.time() - t0, 1)
+
+    t0 = time.time()
+    proc, logf = _spawn(["prior", "--level", "0", "--steps",
+                         str(args.prior_steps)] + common,
+                        os.path.join(logd, "prior0.log"))
+    rc = proc.wait(timeout=7200)
+    logf.close()
+    if rc != 0:
+        raise RuntimeError(f"prior0 failed rc={rc} (see {logd}/prior0.log)")
+    run["phases"]["prior0"] = {"rc": rc, "wall_s": round(time.time() - t0, 1)}
+
+    # Phase C: generate from the trained weights.
+    t0 = time.time()
+    proc, logf = _spawn(["generate", "--out_dir", out,
+                         "--artifact_dir", args.artifact_dir,
+                         "--n_samples", str(args.n_samples),
+                         "--sample_length", str(args.sample_length),
+                         "--corpus_n", str(args.corpus_n)],
+                        os.path.join(logd, "generate.log"))
+    rc = proc.wait(timeout=7200)
+    logf.close()
+    if rc != 0:
+        raise RuntimeError(f"generate failed rc={rc} (see {logd}/generate.log)")
+    run["phases"]["generate"] = {"rc": rc, "wall_s": round(time.time() - t0, 1)}
+
+    run["finished"] = time.time()
+    run["total_wall_s"] = round(run["finished"] - run["started"], 1)
+    with open(os.path.join(out, "SOAK_RUN.json"), "w") as f:
+        json.dump(run, f, indent=2)
+    print(f"[soak:run] DONE {json.dumps(run)}", flush=True)
+
+    # Phase D: plots (in-process; matplotlib only).
+    phase_plots(args)
+
+
+def main():
+    if os.environ.get("VMT_SOAK_CPU") == "1":  # CPU smoke-test mode
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("phase", choices=["vqvae", "prior", "generate", "plots", "run"])
+    p.add_argument("--out_dir", default=os.path.join(REPO, "runs", "soak"))
+    p.add_argument("--steps", type=int, default=3000)
+    p.add_argument("--vqvae_steps", type=int, default=3000)
+    p.add_argument("--prior_steps", type=int, default=3000)
+    p.add_argument("--level", type=int, default=1)
+    p.add_argument("--batch", type=int, default=32)
+    p.add_argument("--lr", type=float, default=3e-4)
+    p.add_argument("--log_every", type=int, default=10)
+    p.add_argument("--n_samples", type=int, default=16)
+    p.add_argument("--artifact_dir",
+                   default=os.path.join(REPO, "artifacts", "soak"))
+    p.add_argument("--sample_length", type=int, default=0,
+                   help="override flagship sample_length (0 = config value); "
+                        "shrink for CPU smoke tests")
+    p.add_argument("--corpus_n", type=int, default=0,
+                   help="override train corpus size (0 = default 1536)")
+    args = p.parse_args()
+    if args.corpus_n:
+        global TRAIN_N
+        TRAIN_N = args.corpus_n
+    {"vqvae": phase_vqvae, "prior": phase_prior, "generate": phase_generate,
+     "plots": phase_plots, "run": phase_run}[args.phase](args)
+
+
+if __name__ == "__main__":
+    main()

@@ -32,6 +32,46 @@ def mu_law_decode(codes: jnp.ndarray, quantization_channels: int = QUANTIZATION_
     return jnp.sign(signal) * magnitude
 
 
+def synthetic_corpus_device(seed: int, batch: int, length: int,
+                            num_genres: int = 10):
+    """On-device twin of :func:`synthetic_audio_batch` for large corpora.
+
+    Host->device transfers over the tunneled TPU backend are slow, so soak
+    training (scripts/soak.py) generates its corpus directly on the device:
+    the same genre-dependent harmonic-stack recipe, vectorized over the batch
+    under one jit.  Returns (waves (N, T, 1) float32 in [-1, 1], labels (N,)
+    int32) as device arrays.  Not bit-identical to the numpy version (jax
+    PRNG), statistically the same family.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def build(key):
+        kl, kp, ka, kv, ke, kn = jax.random.split(key, 6)
+        t = jnp.arange(length, dtype=jnp.float32) / SAMPLE_RATE
+        labels = jax.random.randint(kl, (batch,), 0, num_genres)
+        base = 55.0 * (2.0 ** (labels % 6)).astype(jnp.float32)  # (N,)
+        phases = jax.random.uniform(kp, (batch, 4), minval=0.0,
+                                    maxval=2 * jnp.pi)
+        amps = jax.random.uniform(ka, (batch, 4), minval=0.2, maxval=1.0)
+        vib_f = jax.random.uniform(kv, (batch, 4), minval=0.5, maxval=4.0)
+        env_f = jax.random.uniform(ke, (batch,), minval=0.2, maxval=2.0)
+        wave = jnp.zeros((batch, length), jnp.float32)
+        for h in range(1, 5):  # harmonic stack, one (N, T) term at a time
+            vib = 1.0 + 0.01 * jnp.sin(
+                2 * jnp.pi * vib_f[:, h - 1 : h] * t[None, :])
+            wave = wave + (amps[:, h - 1 : h] / h) * jnp.sin(
+                2 * jnp.pi * base[:, None] * h * vib * t[None, :]
+                + phases[:, h - 1 : h])
+        env = 0.5 * (1.0 + jnp.sin(2 * jnp.pi * env_f[:, None] * t[None, :]))
+        wave = wave * env + 0.02 * jax.random.normal(kn, (batch, length))
+        wave = wave / (jnp.abs(wave).max(axis=1, keepdims=True) + 1e-6)
+        return wave[..., None], labels.astype(jnp.int32)
+
+    return build(jax.random.PRNGKey(seed))
+
+
 def synthetic_audio_batch(
     rng: np.random.Generator | int,
     batch: int,

@@ -71,6 +71,44 @@ class CheckpointManager:
         self.mngr.close()
 
 
+def save_pipeline_artifact(path: str, vqvae_params, codebooks, prior_params) -> None:
+    """Params-only serving artifact of a trained pipeline (no optimizer state).
+
+    This is what the reference's workflow produces at the end (trained
+    weights a Sampler can load — /root/reference/Sampler.py:27-31 builds
+    priors around restored checkpoints); scripts/soak.py writes one and
+    bench.py loads it so generation benchmarks run on TRAINED weights.
+    """
+    tree = {
+        "vqvae_params": vqvae_params,
+        "codebooks": [
+            {"embeddings": c.embeddings, "m_t": c.m_t, "N_t": c.N_t}
+            for c in codebooks
+        ],
+        "prior_params": list(prior_params),
+    }
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.abspath(path), tree, force=True)
+    ckptr.wait_until_finished()
+    ckptr.close()
+
+
+def load_pipeline_artifact(path: str):
+    """Inverse of :func:`save_pipeline_artifact`.
+
+    Returns (vqvae_params, codebooks tuple, prior_params list — bottom
+    level first, matching AncestralSampler.prior_params).
+    """
+    from vae_music_tpu.nn.quantizer import CodebookState
+
+    ckptr = ocp.StandardCheckpointer()
+    raw = ckptr.restore(os.path.abspath(path))
+    ckptr.close()
+    cbs = tuple(CodebookState(c["embeddings"], c["m_t"], c["N_t"])
+                for c in raw["codebooks"])
+    return raw["vqvae_params"], cbs, list(raw["prior_params"])
+
+
 def restore_sampler(sampler, vqvae_ckpt=None, prior_ckpts=None):
     """Template-free restore of trained weights into an AncestralSampler —
     the shared CLI path (generate / export_serving).
