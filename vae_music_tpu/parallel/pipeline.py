@@ -167,6 +167,42 @@ def merge_prior_params(split: dict, depth: int) -> dict:
     return {"params": p}
 
 
+def pp_state_sharding(mesh: Mesh, state: Any, axis_name: str = "pipe") -> Any:
+    """NamedSharding pytree for a PP train state (split params).
+
+    Every leaf living under a ``'stacked'`` key — the (depth, ...) transformer
+    layer stack from :func:`split_prior_params`, and the optimizer moments
+    that mirror it — is sharded over ``axis_name`` on its leading depth axis,
+    so each stage's device holds (and checkpoints/restores) only its own
+    layers' weights and slots.  Everything else (embedding/head/conditioner
+    leaves, step counters) stays replicated.  Pass the result to
+    ``CheckpointManager.restore(..., shardings=...)`` to restore a PP
+    checkpoint directly to its pipeline placement.
+    """
+    from jax.sharding import NamedSharding
+
+    pipe = NamedSharding(mesh, P(axis_name))
+    repl = NamedSharding(mesh, P())
+    n_stages = mesh.shape[axis_name]
+
+    def spec(path, leaf):
+        in_stack = any("stacked" in str(k) for k in path)
+        shape = getattr(leaf, "shape", ())
+        if in_stack and len(shape) >= 1 and shape[0] % n_stages == 0:
+            return pipe
+        return repl
+
+    return jax.tree_util.tree_map_with_path(spec, state)
+
+
+def pp_shard_state(mesh: Mesh, state: Any, axis_name: str = "pipe"):
+    """Device-put a split-params train state under PP placements;
+    returns (state, shardings) — the twin of ``fsdp.shard_state``."""
+    shardings = pp_state_sharding(mesh, state, axis_name)
+    placed = jax.tree_util.tree_map(jax.device_put, state, shardings)
+    return placed, shardings
+
+
 def pipeline_prior_apply(
     prior_cfg,
     ctx_len: int,

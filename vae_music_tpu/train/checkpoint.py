@@ -33,14 +33,35 @@ class CheckpointManager:
     def latest_step(self) -> Optional[int]:
         return self.mngr.latest_step()
 
-    def restore(self, template: Any, step: Optional[int] = None) -> Any:
-        """Restore into the structure of ``template`` (a freshly-built state)."""
+    def restore(self, template: Any, step: Optional[int] = None,
+                shardings: Optional[Any] = None) -> Any:
+        """Restore into the structure of ``template`` (a freshly-built state).
+
+        ``shardings`` (optional): a congruent pytree of ``NamedSharding``s —
+        e.g. ``parallel.fsdp.fsdp_state_sharding(mesh, template)`` or
+        ``parallel.pipeline.pp_state_sharding(mesh, template)``.  Each leaf is
+        then restored DIRECTLY to its target placement (Orbax reads each
+        device's shard from disk); no replicated copy of the state ever
+        materializes in host or device memory.  ``template`` may itself be
+        abstract (``jax.eval_shape`` output) — only ``.shape``/``.dtype`` are
+        read — so a Jukebox-scale FSDP state that does not fit replicated can
+        be restored without ever building a concrete template.
+
+        Without ``shardings``, leaves restore to the template's own placement
+        (sharded templates restore sharded; fresh CPU templates replicate).
+        """
         if step is None:
             step = self.mngr.latest_step()
         if step is None:
             raise FileNotFoundError(f"no checkpoint under {self.directory}")
-        abstract = jax.tree_util.tree_map(
-            ocp.utils.to_shape_dtype_struct, template)
+        if shardings is None:
+            abstract = jax.tree_util.tree_map(
+                ocp.utils.to_shape_dtype_struct, template)
+        else:
+            abstract = jax.tree_util.tree_map(
+                lambda t, s: jax.ShapeDtypeStruct(t.shape, t.dtype,
+                                                  sharding=s),
+                template, shardings)
         return self.mngr.restore(step, args=ocp.args.StandardRestore(abstract))
 
     def restore_params(self, step: Optional[int] = None) -> dict:
