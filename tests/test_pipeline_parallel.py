@@ -173,3 +173,93 @@ def test_pipeline_prior_train_step_matches_single_device():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5,
             err_msg=jax.tree_util.keystr(path))
+
+
+def test_dp_pp_train_step_matches_single_device():
+    """DPxPP (VERDICT r3 weak #4): on a ('data','pipe') = 2x4 mesh, the
+    batch shards over 'data' while layers shard over 'pipe'; the train step
+    still equals the single-device step (loss + every updated param)."""
+    from vae_music_tpu.parallel.pipeline import (
+        make_prior_train_step_pp,
+        merge_prior_params,
+        split_prior_params,
+    )
+    from vae_music_tpu.train.prior_step import make_prior_train_step
+    from vae_music_tpu.train.state import PriorTrainState
+
+    vcfg, pcfg, vq_params, cbs, model, params, optax = _prior_setup()
+    audio = jax.random.normal(jax.random.PRNGKey(3),
+                              (8, vcfg.sample_length, 1))
+    labels = jnp.arange(8, dtype=jnp.int32) % 10
+    rng = jax.random.PRNGKey(4)
+    tx = optax.sgd(1e-2)
+
+    ref_step = make_prior_train_step(vcfg, pcfg, vq_params, cbs, donate=False)
+    ref_state, ref_m = ref_step(PriorTrainState.create(params, tx),
+                                audio, labels, rng)
+
+    devs = np.array(jax.devices())
+    assert devs.size >= 8
+    mesh = Mesh(devs[:8].reshape(2, 4), ("data", "pipe"))
+    pp_step = make_prior_train_step_pp(vcfg, pcfg, vq_params, cbs, mesh=mesh,
+                                       n_microbatches=2, batch_axis="data",
+                                       donate=False)
+    split0 = split_prior_params(params, DEPTH)
+    pp_state, pp_m = pp_step(PriorTrainState.create(split0, tx),
+                             audio, labels, rng)
+
+    np.testing.assert_allclose(float(pp_m["loss"]), float(ref_m["loss"]),
+                               rtol=1e-5)
+    merged = merge_prior_params(pp_state.params, DEPTH)
+    flat_ref = jax.tree_util.tree_leaves_with_path(ref_state.params)
+    flat_pp = jax.tree_util.tree_leaves(merged)
+    assert len(flat_ref) == len(flat_pp)
+    for (path, a), b in zip(flat_ref, flat_pp):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5,
+            err_msg=jax.tree_util.keystr(path))
+
+
+def test_pp_train_step_with_dropout():
+    """dropout=0.1 under PP (per-(stage,microbatch) folded mask streams):
+    deterministic in rng, finite, genuinely active."""
+    import dataclasses
+
+    from vae_music_tpu.parallel.pipeline import (
+        make_prior_train_step_pp,
+        split_prior_params,
+    )
+    from vae_music_tpu.train.state import PriorTrainState
+
+    vcfg, pcfg, vq_params, cbs, model, params, optax = _prior_setup()
+    pcfg_d = dataclasses.replace(pcfg, dropout=0.1)
+    audio = jax.random.normal(jax.random.PRNGKey(3),
+                              (8, vcfg.sample_length, 1))
+    labels = jnp.arange(8, dtype=jnp.int32) % 10
+    tx = optax.sgd(1e-2)
+    mesh = Mesh(np.array(jax.devices()[:4]), ("pipe",))
+    split0 = split_prior_params(params, DEPTH)
+
+    step = make_prior_train_step_pp(vcfg, pcfg_d, vq_params, cbs, mesh=mesh,
+                                    n_microbatches=4, donate=False)
+    s1, m1 = step(PriorTrainState.create(split0, tx), audio, labels,
+                  jax.random.PRNGKey(5))
+    s2, m2 = step(PriorTrainState.create(split0, tx), audio, labels,
+                  jax.random.PRNGKey(5))
+    assert np.isfinite(float(m1["loss"]))
+    np.testing.assert_array_equal(np.asarray(m1["loss"]),
+                                  np.asarray(m2["loss"]))
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        s1.params, s2.params)
+    # Different rng -> different masks -> different loss.
+    _, m3 = step(PriorTrainState.create(split0, tx), audio, labels,
+                 jax.random.PRNGKey(6))
+    assert float(m3["loss"]) != float(m1["loss"])
+    # dropout engaged: differs from the dropout=0 step on the same rng.
+    step0 = make_prior_train_step_pp(vcfg, pcfg, vq_params, cbs, mesh=mesh,
+                                     n_microbatches=4, donate=False)
+    _, m0 = step0(PriorTrainState.create(split0, tx), audio, labels,
+                  jax.random.PRNGKey(5))
+    assert float(m0["loss"]) != float(m1["loss"])

@@ -68,11 +68,14 @@ def pipeline_transformer_apply(
     mesh: Mesh,
     n_microbatches: int,
     axis_name: str = "pipe",
+    batch_axis: str | None = None,
 ) -> jnp.ndarray:
     """Run ``tf``'s forward pass pipelined over ``mesh.shape[axis_name]``
     stages.  ``stacked_params`` is :func:`stack_layer_params` of the
     transformer's params; it is sharded over 'pipe' on its leading axis, so
-    each device materialises only its own stage's weights."""
+    each device materialises only its own stage's weights.  With
+    ``batch_axis``, the within-microbatch batch dimension additionally
+    shards over that axis (DPxPP)."""
     n_stages = mesh.shape[axis_name]
     depth = tf.depth
     assert depth % n_stages == 0, f"depth {depth} % stages {n_stages} != 0"
@@ -139,7 +142,8 @@ def pipeline_transformer_apply(
     # Replication check off: the output is replicated by construction
     # (masked psum over the full axis), which the tracker can't prove.
     fn = shard_map(stage_body, mesh=mesh,
-                   in_specs=(P(axis_name), P()), out_specs=P(),
+                   in_specs=(P(axis_name), P(None, batch_axis)),
+                   out_specs=P(None, batch_axis),
                    **{_REP_KWARG: False})
     xm = x.reshape(m, n // m, t, d)
     return fn(stacked_params, xm).reshape(n, t, d)
@@ -214,19 +218,28 @@ def pipeline_prior_apply(
     mesh: Mesh,
     n_microbatches: int,
     axis_name: str = "pipe",
+    batch_axis: str | None = None,
+    dropout_rng=None,
 ) -> jnp.ndarray:
     """The COMPLETE FMHAPrior forward (models/prior.py:99-118) pipelined over
     ``mesh.shape[axis_name]`` stages: stage 0 embeds the injected microbatch
     (token embedding x sqrt(d) + y_cond swap + positional + conditioning
     add), every stage runs its layer shard, and the LAST stage applies the
     logits head to each microbatch it drains.  Returns (N, T, bins) logits
-    (replicated).  dropout must be 0 (no per-stage RNG plumbing)."""
+    (replicated over 'pipe').
+
+    ``batch_axis='data'`` additionally shards the within-microbatch batch
+    dimension over that mesh axis (DPxPP on a 2-D mesh): each data slice runs
+    its own pipeline; 'pipe' collectives stay within the slice and gradients
+    psum over 'data' via the shard_map transpose.  ``dropout_rng`` enables
+    train-mode dropout at ``prior_cfg.dropout``, the mask stream folded with
+    (global layer, microbatch[, data-shard]) so every (stage, microbatch)
+    draws an independent mask."""
     import flax.linen as nn
 
     from vae_music_tpu.nn.positional import sinusoidal_encoding
 
     c = prior_cfg
-    assert c.dropout == 0.0, "pipelined prior requires dropout=0"
     n_stages = mesh.shape[axis_name]
     depth = c.depth
     assert depth % n_stages == 0
@@ -237,17 +250,26 @@ def pipeline_prior_apply(
     assert n % m == 0
     mb = n // m
     cycle = 2 if c.attn_stacks == 0 else 3
+    use_dropout = dropout_rng is not None and c.dropout > 0.0
     block_defs = [
         ResidualAttnBlock(
             ctx_len=ctx_len, num_heads=c.heads, d_model=c.width,
             blocks=c.blocks, attn_func=f, m_attn=c.m_attn, m_mlp=c.m_mlp,
-            dropout=0.0)
+            dropout=c.dropout if use_dropout else 0.0)
         for f in range(cycle)
     ]
-    branch_fns = [
-        (lambda p, h, blk=blk: blk.apply({"params": p}, h, train=False))
-        for blk in block_defs
-    ]
+    if use_dropout:
+        branch_fns = [
+            (lambda p, h, key, blk=blk: blk.apply(
+                {"params": p}, h, train=True, rngs={"dropout": key}))
+            for blk in block_defs
+        ]
+    else:
+        branch_fns = [
+            (lambda p, h, key, blk=blk: blk.apply({"params": p}, h,
+                                                  train=False))
+            for blk in block_defs
+        ]
     sqrt_d = jnp.sqrt(jnp.float32(c.width))
     has_cond = cond_stream is not None
     has_y = y_cond is not None
@@ -256,8 +278,12 @@ def pipeline_prior_apply(
         extra = list(extra)
         cond_m = extra.pop(0) if has_cond else None   # (M, mb, T, width)
         yc_m = extra.pop(0) if has_y else None        # (M, mb, 1, width)
+        rng = extra.pop(0) if use_dropout else None
         stage = jax.lax.axis_index(axis_name)
+        if use_dropout and batch_axis is not None:
+            rng = jax.random.fold_in(rng, jax.lax.axis_index(batch_axis))
         perm = [(i, (i + 1) % n_stages) for i in range(n_stages)]
+        mb_loc = tok_m.shape[1]   # local microbatch rows (mb / |batch_axis|)
 
         def embed_mb(step):
             """Stage 0's ingest: the prior's input block (prior.py:109-115)."""
@@ -278,11 +304,17 @@ def pipeline_prior_apply(
                     cond_m, step, 0, keepdims=False).astype(x.dtype)
             return x
 
-        def apply_stage(h):
+        def apply_stage(h, tick_step):
+            # The microbatch this stage is processing at this tick (garbage
+            # during pipe fill/drain — those outputs are masked anyway).
+            mb_id = jnp.clip(tick_step - stage, 0, m - 1)
+
             def layer_step(hh, inp):
                 p_layer, j = inp
                 g = stage * layers_per_stage + j
-                hh = jax.lax.switch(g % cycle, branch_fns, p_layer, hh)
+                key = (jax.random.fold_in(jax.random.fold_in(rng, g), mb_id)
+                       if use_dropout else jnp.zeros((2,), jnp.uint32))
+                hh = jax.lax.switch(g % cycle, branch_fns, p_layer, hh, key)
                 return hh, None
             h, _ = jax.lax.scan(layer_step, h,
                                 (stacked, jnp.arange(layers_per_stage)))
@@ -296,7 +328,7 @@ def pipeline_prior_apply(
             state, out_acc = carry
             inject = embed_mb(jnp.clip(step, 0, m - 1))
             h_in = jnp.where(stage == 0, inject, state)
-            h_out = apply_stage(h_in)
+            h_out = apply_stage(h_in, step)
             widx = step - (n_stages - 1)
             wc = jnp.clip(widx, 0, m - 1)
             valid = jnp.logical_and(stage == n_stages - 1, widx >= 0)
@@ -307,8 +339,8 @@ def pipeline_prior_apply(
             state = jax.lax.ppermute(h_out, axis_name, perm)
             return (state, out_acc), None
 
-        carry = (jnp.zeros((mb, t, c.width), jnp.float32),
-                 jnp.zeros((m, mb, t, c.bins), jnp.float32))
+        carry = (jnp.zeros((mb_loc, t, c.width), jnp.float32),
+                 jnp.zeros((m, mb_loc, t, c.bins), jnp.float32))
         (_, out_acc), _ = jax.lax.scan(tick, carry,
                                        jnp.arange(m + n_stages - 1))
         out_acc = jax.lax.psum(
@@ -316,17 +348,21 @@ def pipeline_prior_apply(
                       jnp.zeros_like(out_acc)), axis_name)
         return out_acc
 
-    specs = [P(axis_name), P(), P()]
+    mb_spec = P(None, batch_axis)
+    specs = [P(axis_name), P(), mb_spec]
     args = [split_params["stacked"], split_params["rest"],
             tokens.reshape(m, mb, t)]
     if has_cond:
-        specs.append(P())
+        specs.append(mb_spec)
         args.append(cond_stream.reshape(m, mb, t, -1))
     if has_y:
-        specs.append(P())
+        specs.append(mb_spec)
         args.append(y_cond.reshape(m, mb, 1, -1))
+    if use_dropout:
+        specs.append(P())
+        args.append(dropout_rng)
     fn = shard_map(stage_body, mesh=mesh, in_specs=tuple(specs),
-                   out_specs=P(), **{_REP_KWARG: False})
+                   out_specs=mb_spec, **{_REP_KWARG: False})
     return fn(*args).reshape(n, t, c.bins)
 
 
@@ -339,6 +375,7 @@ def make_prior_train_step_pp(
     mesh: Mesh,
     n_microbatches: int,
     axis_name: str = "pipe",
+    batch_axis: str | None = None,
     donate: bool = True,
 ):
     """Pipeline-parallel twin of train.prior_step.make_prior_train_step.
@@ -347,8 +384,11 @@ def make_prior_train_step_pp(
     transformer layer stack is sharded over 'pipe' (each stage holds — and
     its optimizer state tracks — only its own layers' weights), the
     embedding/head/conditioner leaves are replicated.  Same semantics as the
-    single-device step (frozen encode, scheduled-sampling mix) at dropout=0;
-    tests/test_pipeline_parallel.py pins loss + updated params against it.
+    single-device step (frozen encode, scheduled-sampling mix);
+    tests/test_pipeline_parallel.py pins loss + updated params against it at
+    dropout=0.  ``batch_axis='data'`` composes DPxPP on a 2-D mesh;
+    ``prior_cfg.dropout > 0`` trains with per-(stage,microbatch) folded
+    dropout streams (see :func:`pipeline_prior_apply`).
     """
     import optax
 
@@ -371,10 +411,12 @@ def make_prior_train_step_pp(
     depth = prior_cfg.depth
     ctx_len = level_spec(vqvae_cfg, level).ctx_len
 
+    use_dropout = prior_cfg.dropout > 0.0
+
     def train_step(state, audio, labels, rng):
         """``state.params`` is a split tree ({'stacked','rest'})."""
         step_rng = jax.random.fold_in(rng, state.step)
-        tf_rng, _d1, _d2 = jax.random.split(step_rng, 3)
+        tf_rng, drop1, drop2 = jax.random.split(step_rng, 3)
 
         zs = vqvae_encode(vqvae_params, codebooks, vqvae_cfg, audio, level,
                           levels)
@@ -382,7 +424,7 @@ def make_prior_train_step_pp(
         target = codes
         latent_input = shift_right_with_start(codes, start_token)
 
-        def forward(split, tok):
+        def forward(split, tok, drop_rng):
             # label/conditioner nets live in 'rest' — applying via the rest
             # subtree alone avoids gathering the pipe-sharded layer stack.
             rest_vars = {"params": split["rest"]}
@@ -394,16 +436,18 @@ def make_prior_train_step_pp(
                   if conditioned else None)
             return pipeline_prior_apply(
                 prior_cfg, ctx_len, split, tok, cs, yc, mesh=mesh,
-                n_microbatches=n_microbatches, axis_name=axis_name)
+                n_microbatches=n_microbatches, axis_name=axis_name,
+                batch_axis=batch_axis,
+                dropout_rng=drop_rng if use_dropout else None)
 
         def loss_fn(split):
-            logits1 = forward(split, latent_input)
+            logits1 = forward(split, latent_input, drop1)
             pred = jnp.argmax(logits1, axis=-1)
             pred_input = shift_right_with_start(pred, start_token)
             mix = jnp.where(
                 jax.random.uniform(tf_rng, pred_input.shape) < tf_rate,
                 pred_input, latent_input)
-            logits = forward(split, jax.lax.stop_gradient(mix))
+            logits = forward(split, jax.lax.stop_gradient(mix), drop2)
             return token_loss(target, logits), logits
 
         (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(

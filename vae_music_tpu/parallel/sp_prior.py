@@ -27,11 +27,13 @@ transposes), so ``jax.value_and_grad`` of the sharded loss IS the
 sequence-parallel backward; tests/test_sp_prior.py pins loss AND grads
 against the single-device step at rtol 1e-4.
 
-Scope: dropout must be 0 (per-device RNG streams would diverge from the
-single-device trajectory) and the conditioning stream, if any, must be
-pre-upsampled to (N, T, width) — the dilated transposed-conv ConditionerNet
-is cheap relative to the transformer and runs once, outside the map, exactly
-like the serving path (sample/decode.py upsamples before the token loop).
+Scope: the conditioning stream, if any, must be pre-upsampled to
+(N, T, width) — the dilated transposed-conv ConditionerNet is cheap relative
+to the transformer and runs once, outside the map, exactly like the serving
+path (sample/decode.py upsamples before the token loop).  Dropout > 0 is
+supported with per-shard folded mask streams (:func:`_sp_dropout`); the
+exact-equality tests run at dropout=0, the dropout law is pinned
+statistically.  ``batch_axis='data'`` composes DPxSP on a 2-D mesh.
 """
 
 from __future__ import annotations
@@ -76,9 +78,29 @@ def _prev_halo(x: jnp.ndarray, width: int, axis_name: str) -> jnp.ndarray:
     return halo * (idx > 0).astype(halo.dtype)
 
 
+def _sp_dropout(x: jnp.ndarray, rate: float, rng, layer_idx: int,
+                axis_name: str, batch_axis) -> jnp.ndarray:
+    """Inverted dropout on a sequence shard (attention.py:273 position).
+
+    The mask stream is folded with (layer, seq-shard[, data-shard]) indices so
+    every shard draws an independent mask — the single-device trajectory is
+    not reproduced bit-for-bit (its masks are generated over the global token
+    axis), but the dropout LAW is identical: per-activation keep probability
+    1-rate with 1/(1-rate) scaling.  tests/test_sp_prior.py pins density,
+    determinism-in-rng, and shard-independence statistically.
+    """
+    key = jax.random.fold_in(rng, layer_idx)
+    key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
+    if batch_axis is not None:
+        key = jax.random.fold_in(key, jax.lax.axis_index(batch_axis))
+    keep = jax.random.bernoulli(key, 1.0 - rate, x.shape)
+    return jnp.where(keep, x / (1.0 - rate), 0.0).astype(x.dtype)
+
+
 def _sp_layer(lp: dict, x: jnp.ndarray, *, pattern: int, block_len: int,
               heads: int, attn_w: int, d_model: int, m_mlp: float,
-              axis_name: str) -> jnp.ndarray:
+              axis_name: str, dropout: float = 0.0, drop_rng=None,
+              layer_idx: int = 0, batch_axis=None) -> jnp.ndarray:
     """One ResidualAttnBlock (transformer.py:44-56 triple residual) on a
     sequence shard.  ``lp`` = that layer's param subtree."""
     hd = attn_w // heads
@@ -105,6 +127,9 @@ def _sp_layer(lp: dict, x: jnp.ndarray, *, pattern: int, block_len: int,
     out = nn.DenseGeneral(attn_w, axis=(-2, -1)).apply(
         {"params": lp["fmha"]["o_proj"]}, attn)
     res1 = nn.Dense(d_model).apply({"params": lp["fmha"]["proj"]}, out)
+    if drop_rng is not None and dropout > 0.0:
+        res1 = _sp_dropout(res1, dropout, drop_rng, layer_idx, axis_name,
+                           batch_axis)
     h = ln(lp["ln2"], x + res1)
     res2 = nn.Dense(int(d_model * m_mlp)).apply({"params": lp["mlp"]}, h)
     return res2 + res1 + x
@@ -116,17 +141,26 @@ def make_sp_prior_forward(
     *,
     mesh: Mesh,
     axis_name: str = "seq",
+    batch_axis: str | None = None,
 ):
-    """Returns ``forward(params, tokens, cond_stream, y_cond) -> logits``
-    with tokens/cond_stream/logits sharded (N, T/:seq:, ...) over the mesh.
+    """Returns ``forward(params, tokens, cond_stream, y_cond, dropout_rng)
+    -> logits`` with tokens/cond_stream/logits sharded (N, T/:seq:, ...)
+    over the mesh.
+
+    ``batch_axis`` (e.g. ``'data'``): additionally shard the BATCH dimension
+    of tokens/conditioning/logits over that mesh axis — DPxSP on a 2-D mesh.
+    The per-shard code is unchanged (all collectives run over ``axis_name``
+    only, i.e. within each data slice); gradients psum over both axes via the
+    shard_map transpose.
 
     ``cond_stream``: optional pre-upsampled (N, T, width) conditioning
-    (sequence-sharded like the tokens); ``y_cond``: optional (N, 1, width)
+    (sharded like the tokens); ``y_cond``: optional (N, 1, width)
     label embedding, applied at global position 0 (autoregressive_fmha.py:
-    120-129) — i.e. on shard 0 only.
+    120-129) — i.e. on seq-shard 0 only.  ``dropout_rng``: optional PRNG key
+    enabling train-mode dropout at ``prior_cfg.dropout`` with per-shard
+    folded mask streams (see :func:`_sp_dropout`).
     """
     c = prior_cfg
-    assert c.dropout == 0.0, "SP train step requires dropout=0 (see module doc)"
     assert ctx_len % c.blocks == 0
     block_len = ctx_len // c.blocks
     size = mesh.shape[axis_name]
@@ -136,12 +170,13 @@ def make_sp_prior_forward(
                      for i in range(c.depth))
     sqrt_d = jnp.sqrt(jnp.float32(c.width))
 
-    def make_local_forward(has_cond: bool, has_y: bool):
+    def make_local_forward(has_cond: bool, has_y: bool, has_rng: bool):
         def local_forward(params, tokens, *extra):
             p = params["params"]
             extra = list(extra)
             cond_stream = extra.pop(0) if has_cond else None
             y_cond = extra.pop(0) if has_y else None
+            drop_rng = extra.pop(0) if has_rng else None
             idx = jax.lax.axis_index(axis_name)
             l_loc = tokens.shape[1]
 
@@ -165,26 +200,36 @@ def make_sp_prior_forward(
                 x = _sp_layer(
                     p["transformer"][f"layer_{li}"], x, pattern=patterns[li],
                     block_len=block_len, heads=c.heads, attn_w=c.attn_width,
-                    d_model=c.width, m_mlp=c.m_mlp, axis_name=axis_name)
+                    d_model=c.width, m_mlp=c.m_mlp, axis_name=axis_name,
+                    dropout=c.dropout, drop_rng=drop_rng, layer_idx=li,
+                    batch_axis=batch_axis)
             return nn.Dense(c.bins).apply({"params": p["out"]}, x)
 
         return local_forward
 
-    seq3 = P(None, axis_name, None)
+    seq3 = P(batch_axis, axis_name, None)
+    tok2 = P(batch_axis, axis_name)
     fns = {}
 
-    def forward(params, tokens, cond_stream=None, y_cond=None):
-        key = (cond_stream is not None, y_cond is not None)
+    def forward(params, tokens, cond_stream=None, y_cond=None,
+                dropout_rng=None):
+        key = (cond_stream is not None, y_cond is not None,
+               dropout_rng is not None)
         if key not in fns:
-            specs = [P(), P(None, axis_name)]
+            specs = [P(), tok2]
             if key[0]:
                 specs.append(seq3)   # conditioning stream: sharded like tokens
             if key[1]:
-                specs.append(P())    # label embedding: replicated (position 0)
+                # label embedding: batch-sharded rows, replicated over 'seq'
+                # (only seq-shard 0 consumes it at position 0)
+                specs.append(P(batch_axis, None, None))
+            if key[2]:
+                specs.append(P())    # dropout key: replicated, folded inside
             fns[key] = shard_map(make_local_forward(*key), mesh=mesh,
                                  in_specs=tuple(specs), out_specs=seq3,
                                  **{_REP_KWARG: False})
-        args = [a for a in (cond_stream, y_cond) if a is not None]
+        args = [a for a in (cond_stream, y_cond, dropout_rng)
+                if a is not None]
         return fns[key](params, tokens, *args)
 
     return forward
@@ -198,6 +243,7 @@ def make_prior_train_step_sp(
     *,
     mesh: Mesh,
     axis_name: str = "seq",
+    batch_axis: str | None = None,
     donate: bool = True,
 ):
     """Sequence-parallel twin of train.prior_step.make_prior_train_step:
@@ -205,6 +251,13 @@ def make_prior_train_step_sp(
     prior forward+backward running with the token axis sharded over
     ``axis_name``.  Matches the single-device step's loss and grads at
     dropout=0 (tests/test_sp_prior.py).
+
+    ``batch_axis='data'`` composes with data parallelism on a 2-D mesh: the
+    batch shards over 'data' while tokens shard over 'seq'; gradients psum
+    over both axes.  ``prior_cfg.dropout > 0`` trains with per-shard folded
+    dropout streams (/root/reference/debug:65-66 explored dropout 0.1);
+    the trajectory then legitimately differs from single-device (different
+    mask draws, same law).
     """
     model = build_fmha_prior(vqvae_cfg, prior_cfg)
     level = prior_cfg.level
@@ -212,12 +265,14 @@ def make_prior_train_step_sp(
     conditioned = prior_cfg.conditioner is not None
     start_token = prior_cfg.bins - 1
     tf_rate = prior_cfg.teacher_force_rate
+    use_dropout = prior_cfg.dropout > 0.0
     from vae_music_tpu.models.prior import level_spec, token_accuracy, token_loss
 
     spec = level_spec(vqvae_cfg, prior_cfg.level)
     forward = make_sp_prior_forward(prior_cfg, spec.ctx_len, mesh=mesh,
-                                    axis_name=axis_name)
-    seq_sharding = NamedSharding(mesh, P(None, axis_name))
+                                    axis_name=axis_name,
+                                    batch_axis=batch_axis)
+    seq_sharding = NamedSharding(mesh, P(batch_axis, axis_name))
 
     def train_step(state: PriorTrainState, audio: jnp.ndarray,
                    labels, rng: jax.Array):
@@ -225,7 +280,7 @@ def make_prior_train_step_sp(
         # Same split as the single-device step (prior_step.py) so the
         # scheduled-sampling mask — and therefore loss/grads — match exactly
         # at dropout=0.
-        tf_rng, _drop1, _drop2 = jax.random.split(step_rng, 3)
+        tf_rng, drop1, drop2 = jax.random.split(step_rng, 3)
 
         zs = vqvae_encode(vqvae_params, codebooks, vqvae_cfg, audio, level,
                           levels)
@@ -243,8 +298,9 @@ def make_prior_train_step_sp(
                 # stream like the tokens before it enters the shard_map.
                 cs = jax.lax.with_sharding_constraint(
                     model.apply(params, zs[1], method=FMHAPrior.upsample_cond),
-                    NamedSharding(mesh, P(None, axis_name, None)))
-            logits1 = forward(params, latent_input, cs, yc)
+                    NamedSharding(mesh, P(batch_axis, axis_name, None)))
+            logits1 = forward(params, latent_input, cs, yc,
+                              drop1 if use_dropout else None)
             pred = jnp.argmax(logits1, axis=-1)
             pred_input = shift_right_with_start(pred, start_token)
             mix = jnp.where(
@@ -252,7 +308,8 @@ def make_prior_train_step_sp(
                 pred_input, latent_input)
             mix = jax.lax.stop_gradient(
                 jax.lax.with_sharding_constraint(mix, seq_sharding))
-            logits = forward(params, mix, cs, yc)
+            logits = forward(params, mix, cs, yc,
+                             drop2 if use_dropout else None)
             return token_loss(target, logits), logits
 
         (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(
