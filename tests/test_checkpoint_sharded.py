@@ -174,3 +174,44 @@ def test_pp_checkpoint_converts_to_single_device_layout_and_back(tmp_path):
     # ...and split(merge(x)) == x.
     _assert_same_tree(split_prior_params(merged, DEPTH), restored.params,
                       rtol=0)
+
+
+def test_pipeline_artifact_roundtrip(tmp_path):
+    """save_pipeline_artifact -> load_pipeline_artifact is exact (the serving
+    artifact scripts/soak.py writes and bench.py loads)."""
+    from vae_music_tpu.train.checkpoint import (
+        load_pipeline_artifact,
+        save_pipeline_artifact,
+    )
+
+    _, _, vq_params, cbs, prior_params, _, _ = _setup()
+    path = str(tmp_path / "artifact")
+    save_pipeline_artifact(path, vq_params, cbs, [prior_params])
+    vq2, cbs2, pps2 = load_pipeline_artifact(path)
+    _assert_same_tree(vq2, vq_params, rtol=0)
+    _assert_same_tree(tuple(cbs2), tuple(cbs), rtol=0)
+    assert len(pps2) == 1
+    _assert_same_tree(pps2[0], prior_params, rtol=0)
+
+
+def test_soak_artifact_loads_cross_device():
+    """The committed TPU-trained soak artifact restores on this CPU backend.
+
+    load_pipeline_artifact builds abstract targets pinned to the CURRENT
+    default device, so an artifact saved on one device kind (the soak run's
+    TPU) loads anywhere — the stored SingleDeviceSharding naming 'TPU v5
+    lite0' must not be replayed.  VERDICT r3 next-step 1 (bench on trained
+    weights) depends on this portability."""
+    import os
+
+    from vae_music_tpu.train.checkpoint import load_pipeline_artifact
+
+    art = os.path.join(os.path.dirname(__file__), "..", "artifacts", "soak")
+    if not os.path.isdir(art):
+        pytest.skip("soak artifact not present")
+    vq, cbs, pps = load_pipeline_artifact(art)
+    dev = next(iter(jax.tree_util.tree_leaves(vq)[0].devices()))
+    assert dev.platform == jax.default_backend()
+    assert len(cbs) == 2 and len(pps) == 2
+    for c in cbs:
+        assert np.isfinite(np.asarray(c.embeddings)).all()

@@ -119,11 +119,23 @@ def load_pipeline_artifact(path: str):
 
     Returns (vqvae_params, codebooks tuple, prior_params list — bottom
     level first, matching AncestralSampler.prior_params).
+
+    Device-portable: the artifact's stored shardings name the devices it was
+    saved on (e.g. the TPU), so restore goes through abstract
+    shape/dtype-only targets built from the checkpoint's own metadata —
+    loading on CPU what was trained on TPU (and vice versa) just works.
     """
     from vae_music_tpu.nn.quantizer import CodebookState
 
+    path = os.path.abspath(path)
     ckptr = ocp.StandardCheckpointer()
-    raw = ckptr.restore(os.path.abspath(path))
+    meta = ckptr.metadata(path)
+    tree_meta = getattr(meta, "item_metadata", meta)
+    here = jax.sharding.SingleDeviceSharding(jax.devices()[0])
+    abstract = jax.tree_util.tree_map(
+        lambda m: jax.ShapeDtypeStruct(m.shape, m.dtype, sharding=here),
+        tree_meta)
+    raw = ckptr.restore(path, abstract)
     ckptr.close()
     cbs = tuple(CodebookState(c["embeddings"], c["m_t"], c["N_t"])
                 for c in raw["codebooks"])
