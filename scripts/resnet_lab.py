@@ -42,7 +42,6 @@ from vae_music_tpu.ops.resnet_pallas import (
 # these lengths (code grid 896 upsampled x2 per stage), width 32, depth 4,
 # dilations reversed [27, 9, 3, 1] (configs/registry.py GTZAN_VQVAE).
 STAGE_T = (896, 1792, 3584, 7168, 14336)
-C = 32
 DEPTH = 4
 
 
@@ -75,21 +74,29 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=256)
     ap.add_argument("--iters", type=int, default=30)
+    ap.add_argument("--width", type=int, default=32,
+                    help="channels (32 = flagship level-0 decoder)")
+    ap.add_argument("--stages", type=int, nargs="*", default=None,
+                    help="override stage lengths (default: level-0 decoder)")
     args = ap.parse_args()
+    C = args.width
+    stage_t = tuple(args.stages) if args.stages else STAGE_T
 
     rtt = _rtt()
-    print(f"device={jax.devices()[0]} rtt={rtt*1e3:.1f}ms batch={args.batch}",
-          flush=True)
+    print(f"device={jax.devices()[0]} rtt={rtt*1e3:.1f}ms batch={args.batch} "
+          f"width={C}", flush=True)
 
     mod_conv = DilatedResnet1D(C, DEPTH, dilation_factor=3,
                                reverse_dilation=True, dtype=jnp.bfloat16,
                                conv_impl="conv")
-    mod_tap = mod_conv.replace(conv_impl="tap")
+    mod_tap = DilatedResnet1D(C, DEPTH, dilation_factor=3,
+                              reverse_dilation=True, dtype=jnp.bfloat16,
+                              conv_impl="tap")
     dils = mod_conv.dilations()
 
     rows = []
     totals = {"xla_conv": 0.0, "xla_tap": 0.0, "pallas": 0.0}
-    for t_len in STAGE_T:
+    for t_len in stage_t:
         x = jax.random.normal(jax.random.PRNGKey(0), (args.batch, t_len, C),
                               jnp.bfloat16)
         params = mod_conv.init(jax.random.PRNGKey(1),
@@ -110,7 +117,7 @@ def main():
         err = float(jnp.max(jnp.abs(got.astype(jnp.float32)
                                     - ref.astype(jnp.float32))))
 
-        iters = max(6, int(args.iters * STAGE_T[0] / t_len * 4))
+        iters = max(6, int(args.iters * stage_t[0] / t_len * 4))
         row = {"T": t_len, "max_abs_err_vs_xla": round(err, 4)}
         for name, fn in fns.items():
             us = time_fn(fn, x, iters, rtt) * 1e6

@@ -13,9 +13,13 @@ tile-local:
 
   * the input is pre-padded by ``H = sum(d_l + 1)`` zeros per side (the
     cumulative receptive-field growth of the chain);
-  * each grid cell DMAs its ``(bn, bt + 2H, C)`` tile from HBM (overlapping
-    reads — BlockSpec indexing cannot overlap, so the input stays in ANY
-    memory and the kernel issues the sliced copy itself);
+  * XLA pre-gathers the overlapping ``(bn, bt + 2H, C)`` windows into an
+    ``(n, T/bt, bt + 2H, C)`` array of static slices so each grid cell reads
+    a disjoint block through a normal pipelined BlockSpec.  (BlockSpec
+    indexing cannot overlap; a manual in-kernel DMA from ``pl.ANY`` memory
+    can, but Mosaic requires HBM slice shapes lane-aligned to 128 and C=32 —
+    the window copy costs one extra ~1.1x HBM round trip of the input and
+    keeps the kernel on the supported path);
   * every block computes on the full tile; correctness decays inward by
     ``d_l + 1`` per block, so after all L blocks the central ``bt`` region is
     exactly the global result and is the only part written back;
@@ -60,11 +64,20 @@ def stack_resnet_params(params: dict, depth: int):
     return w0, b0, w1, b1
 
 
-def _taps_matmul(h, w_flat, bias, d, acc_dtype=jnp.float32):
-    """k=3 SAME dilated conv on a tile as ONE (M, 3C) x (3C, C) matmul.
+def _taps_matmul(h, w_taps, bias, d, acc_dtype=jnp.float32):
+    """k=3 SAME dilated conv on a tile as THREE (M, C) x (C, C) matmuls.
 
     Tile-edge shift fills are zeros — wrong values, but they live inside the
     halo margin that the caller discards.
+
+    Summing per-tap matmuls (instead of one (M, 3C) x (3C, C) on the
+    lane-concatenated taps) is a Mosaic constraint, not a choice: the
+    pad-then-slice shifts give the operands sublane-offset layouts that
+    ``tpu.concatenate`` rejects ("result/input offset mismatch on non-concat
+    dimension"), and ``pltpu.roll`` lowers to ``tpu.dynamic_rotate`` which
+    has no bf16 path.  Matmul operands, by contrast, Mosaic relayouts
+    freely.  MXU cost is identical anyway: K=32 and K=96 both pad to the
+    128-wide systolic contraction.
     """
     tlen = h.shape[1]
 
@@ -75,25 +88,17 @@ def _taps_matmul(h, w_flat, bias, d, acc_dtype=jnp.float32):
             return jnp.pad(h, ((0, 0), (-off, 0), (0, 0)))[:, :tlen]
         return jnp.pad(h, ((0, 0), (0, off), (0, 0)))[:, off:]
 
-    cat = jnp.concatenate([shift(-d), shift(0), shift(d)], axis=-1)
-    out = jax.lax.dot_general(
-        cat, w_flat, (((2,), (0,)), ((), ())),
-        preferred_element_type=acc_dtype)
-    return out + bias.astype(acc_dtype)
+    out = bias.astype(acc_dtype)
+    for k, off in enumerate((-d, 0, d)):
+        out = out + jax.lax.dot_general(
+            shift(off), w_taps[k], (((2,), (0,)), ((), ())),
+            preferred_element_type=acc_dtype)
+    return out
 
 
-def _resnet_kernel(x_hbm, w0, b0, w1, b1, out_ref, tile, sem, *,
+def _resnet_kernel(x_ref, w0, b0, w1, b1, out_ref, *,
                    dilations, halo, block_t, t_global, compute_dtype):
-    i = pl.program_id(0)
     j = pl.program_id(1)
-    bn = tile.shape[0]
-
-    # Overlapping tile read: [j*bt, j*bt + bt + 2H) of the H-pre-padded input.
-    dma = pltpu.make_async_copy(
-        x_hbm.at[pl.ds(i * bn, bn), pl.ds(j * block_t, block_t + 2 * halo), :],
-        tile, sem)
-    dma.start()
-    dma.wait()
 
     # Positions beyond the GLOBAL edge must stay exactly zero between blocks
     # (module docstring).  pos is the unpadded global time index.
@@ -101,17 +106,15 @@ def _resnet_kernel(x_hbm, w0, b0, w1, b1, out_ref, tile, sem, *,
         jnp.int32, (1, block_t + 2 * halo, 1), 1) + (j * block_t - halo)
     inside = jnp.logical_and(pos >= 0, pos < t_global)
 
-    cur = tile[:].astype(compute_dtype)
+    cur = x_ref[:, 0].astype(compute_dtype)
     for l, d in enumerate(dilations):
         h = jnp.maximum(cur, 0.0)
-        y = _taps_matmul(h, w0[l].reshape(-1, w0.shape[-1]).astype(compute_dtype),
-                         b0[l], d)
+        y = _taps_matmul(h, w0[l].astype(compute_dtype), b0[l], d)
         # Conv_1's SAME padding reads ZEROS beyond the global edge, not
         # Conv_0's bias ripple — mask the intermediate too (cur is already
         # masked, so relu(cur) is safe for Conv_0).
         h2 = jnp.where(inside, jnp.maximum(y, 0.0), 0.0).astype(compute_dtype)
-        y2 = _taps_matmul(h2, w1[l].reshape(-1, w1.shape[-1]).astype(compute_dtype),
-                          b1[l], 1)
+        y2 = _taps_matmul(h2, w1[l].astype(compute_dtype), b1[l], 1)
         cur = jnp.where(inside, cur + y2.astype(compute_dtype), 0.0)
 
     out_ref[:] = cur[:, halo:halo + block_t, :].astype(out_ref.dtype)
@@ -142,12 +145,20 @@ def fused_dilated_resnet(
         bn -= 1
     bt = block_t
     if bt == 0:
-        bt = min(t, 2048)
+        # VMEM-aware: the live f32 intermediates scale with bn*bt*c, so cap
+        # bt inversely with width (2048 at the flagship C=32 fits 96 MiB).
+        bt = min(t, max(256, 2048 * 32 // c))
         while t % bt:
             bt -= 1
     assert t % bt == 0 and n % bn == 0
 
     xp = jnp.pad(x, ((0, 0), (halo, halo), (0, 0)))
+    # Overlapping halo windows as static slices (XLA fuses these into one
+    # copy): xov[:, j] = xp[:, j*bt : j*bt + bt + 2H].
+    xov = jnp.stack(
+        [jax.lax.dynamic_slice_in_dim(xp, j * bt, bt + 2 * halo, axis=1)
+         for j in range(t // bt)], axis=1)
+
     kernel = functools.partial(
         _resnet_kernel, dilations=dilations, halo=halo, block_t=bt,
         t_global=t, compute_dtype=compute_dtype)
@@ -159,7 +170,8 @@ def fused_dilated_resnet(
         kernel,
         grid=(n // bn, t // bt),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),    # padded input (HBM)
+            pl.BlockSpec((bn, 1, bt + 2 * halo, c), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),    # halo windows
             pl.BlockSpec(memory_space=pltpu.VMEM),   # w0 (whole)
             pl.BlockSpec(memory_space=pltpu.VMEM),   # b0
             pl.BlockSpec(memory_space=pltpu.VMEM),   # w1
@@ -168,17 +180,17 @@ def fused_dilated_resnet(
         out_specs=pl.BlockSpec((bn, bt, c), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, t, c), x.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((bn, bt + 2 * halo, c), x.dtype),
-            pltpu.SemaphoreType.DMA,
-        ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
+            # The unrolled L-block chain keeps several (bn, bt+2H, C) f32
+            # intermediates live at once; Mosaic's default 16 MiB scoped-VMEM
+            # ceiling rejects that at bn=16, bt~2048 (measured: 31.7 MiB).
+            vmem_limit_bytes=96 * 2**20,
         ),
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=bytes_accessed, transcendentals=0),
         interpret=interpret,
-    )(xp, w0, b0, w1, b1)
+    )(xov, w0, b0, w1, b1)
 
 
 def resnet_pallas_available() -> bool:
