@@ -82,6 +82,30 @@ def test_decode_without_conditioning():
                                rtol=1e-4, atol=2e-4)
 
 
+def test_xla_path_bf16_caches_full_forward_fidelity():
+    """The non-fused scan path honors float cache_dtype (r4: at the
+    JUKEBOX_SMALL_PRIOR geometry f32 caches are a 48 GB HBM OOM; bf16 halves
+    them).  Greedy chains can diverge from the f32-cache decode on near-ties
+    (random-init tiny geometry), so the fidelity statement is the central
+    invariant instead: the bf16-cache decode's logits must match the full
+    f32 forward on its OWN token stream to bf16 tolerance."""
+    vcfg = _vqvae_cfg()
+    pcfg = _prior_cfg(1)
+    model, params = init_prior(jax.random.PRNGKey(1), vcfg, pcfg)
+    spec = level_spec(vcfg, 1)
+    dec16 = make_decode_fn(pcfg, spec.ctx_len, 2, mode=SampleMode.GREEDY,
+                           return_logits=True, fused=False,
+                           cache_dtype="bfloat16")
+    t16, l16 = dec16(params, jax.random.PRNGKey(2), None, None)
+    full16, _ = model.apply(params, t16[:, :-1])
+    np.testing.assert_allclose(np.asarray(l16), np.asarray(full16),
+                               rtol=2e-2, atol=5e-2)
+    # int8 caches stay fused-kernel-only (scales live in the kernel).
+    with pytest.raises(AssertionError, match="fused-kernel-only"):
+        make_decode_fn(pcfg, spec.ctx_len, 2, mode=SampleMode.GREEDY,
+                       fused=False, cache_dtype="int8")
+
+
 def test_gumbel_sampling_matches_categorical_distribution():
     """Gumbel-max sampling == categorical (the reference's
     RelaxedOneHotCategorical(1)+argmax, autoregressive_fmha.py:217-221)."""

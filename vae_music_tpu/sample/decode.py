@@ -213,10 +213,16 @@ def make_decode_fn(
 
         # Per-layer cache arrays (a tuple, not one stacked array): each layer's
         # dynamic_update_slice then touches only its own buffer, which XLA
-        # updates in place inside the scan carry.
-        k_cache0 = tuple(jnp.zeros((n_samples, ctx_len, heads, hd), jnp.float32)
+        # updates in place inside the scan carry.  Float cache_dtype is
+        # honored here too (attention math stays f32 via _attend_single's
+        # preferred_element_type/softmax); int8 is rejected above — the
+        # factored-scale bookkeeping lives in the fused kernel.  At the
+        # JUKEBOX_SMALL_PRIOR geometry bf16 is the difference between fitting
+        # on one chip and a 48 GB HBM OOM (96 caches of (N, 8192, 2, 128)).
+        xla_cdt = jnp.dtype(cache_dtype)
+        k_cache0 = tuple(jnp.zeros((n_samples, ctx_len, heads, hd), xla_cdt)
                          for _ in range(depth))
-        v_cache0 = tuple(jnp.zeros((n_samples, ctx_len, heads, hd), jnp.float32)
+        v_cache0 = tuple(jnp.zeros((n_samples, ctx_len, heads, hd), xla_cdt)
                          for _ in range(depth))
         u_cache0 = tuple(jnp.zeros((n_samples, 2, width), jnp.float32)
                          for _ in range(depth))
@@ -239,8 +245,10 @@ def make_decode_fn(
             k = k.reshape(n_samples, heads, hd)
             v = v.reshape(n_samples, heads, hd)
 
-            kc = jax.lax.dynamic_update_slice(kc, k[:, None], (0, t, 0, 0))
-            vc = jax.lax.dynamic_update_slice(vc, v[:, None], (0, t, 0, 0))
+            kc = jax.lax.dynamic_update_slice(
+                kc, k.astype(kc.dtype)[:, None], (0, t, 0, 0))
+            vc = jax.lax.dynamic_update_slice(
+                vc, v.astype(vc.dtype)[:, None], (0, t, 0, 0))
 
             pattern = cfg.attn_pattern(li)
             if pattern == 0:  # row: current block, offsets <= i
