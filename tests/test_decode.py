@@ -100,6 +100,14 @@ def test_xla_path_bf16_caches_full_forward_fidelity():
     full16, _ = model.apply(params, t16[:, :-1])
     np.testing.assert_allclose(np.asarray(l16), np.asarray(full16),
                                rtol=2e-2, atol=5e-2)
+    # weight_dtype=bfloat16 (streamed folded weights) holds the same bound.
+    decw = make_decode_fn(pcfg, spec.ctx_len, 2, mode=SampleMode.GREEDY,
+                          return_logits=True, fused=False,
+                          cache_dtype="bfloat16", weight_dtype="bfloat16")
+    tw, lw = decw(params, jax.random.PRNGKey(2), None, None)
+    fullw, _ = model.apply(params, tw[:, :-1])
+    np.testing.assert_allclose(np.asarray(lw), np.asarray(fullw),
+                               rtol=2e-2, atol=8e-2)
     # int8 caches stay fused-kernel-only (scales live in the kernel).
     with pytest.raises(AssertionError, match="fused-kernel-only"):
         make_decode_fn(pcfg, spec.ctx_len, 2, mode=SampleMode.GREEDY,

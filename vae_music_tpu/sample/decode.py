@@ -109,6 +109,7 @@ def make_decode_fn(
     cache_dtype: str = "float32",
     sample_in_kernel: Optional[bool] = None,
     hist_slots: int = 0,        # 0 = kernel default; perf-lab knob
+    weight_dtype: str = "float32",  # XLA path: folded-weight storage dtype
 ):
     """Build a jitted sampler for one prior level.
 
@@ -210,6 +211,31 @@ def make_decode_fn(
         layers = [fold_layer(p["transformer"][f"layer_{i}"])
                   for i in range(depth)]
         out_k, out_b = p["out"]["kernel"], p["out"]["bias"]
+
+        # XLA-path weight streaming dtype.  The scan body re-reads every
+        # folded weight matrix from HBM each token step (~807 MB/step in f32
+        # at the JUKEBOX_SMALL_PRIOR geometry); bf16 storage halves that
+        # traffic while matmuls keep f32 accumulation (jnp promotes
+        # f32 @ bf16), biases and layernorm params stay f32.  MEASURED at
+        # that geometry (batch 32, 2026-08-19): 5477.8 vs 5480.6 us/step —
+        # NO speedup; the wide XLA step is serialization-bound (48 strictly
+        # sequential layers of small ops), not weight-bandwidth-bound, which
+        # also shows in batch 16 -> 32 almost doubling throughput for +10%
+        # step time.  Kept as a capacity/fidelity-neutral option; the real
+        # wide-serving fix is the layer-grid fused kernel.  Fused-path
+        # weights are VMEM-staged per kernel launch and keep f32.
+        wdt = jnp.dtype(weight_dtype)
+        if not fused and wdt != jnp.float32:
+            def _cast_mats(lp):
+                lp = dict(lp)
+                lp["qkv_kernel"] = lp["qkv_kernel"].astype(wdt)
+                lp["out_kernel"] = lp["out_kernel"].astype(wdt)
+                lp["mlp"] = {"kernel": lp["mlp"]["kernel"].astype(wdt),
+                             "bias": lp["mlp"]["bias"]}
+                return lp
+
+            layers = [_cast_mats(lp) for lp in layers]
+            out_k = out_k.astype(wdt)
 
         # Per-layer cache arrays (a tuple, not one stacked array): each layer's
         # dynamic_update_slice then touches only its own buffer, which XLA
