@@ -422,17 +422,13 @@ def main():
     # hd 128, ctx 8192 — /root/reference/SMALL_PRIOR_model_structuree:2).
     # Runs after the train section so the serving buffers are already freed;
     # mirrors scripts/wide_lab.py (same shapes -> shared persistent-cache hit).
-    # Cold-compiling the FUSED kernel at this geometry is a compile wall on
-    # the tunneled chip (>40 min without finishing, 2026-08-19): the kernel
-    # unrolls all `depth` layers in its body (ops/decode_pallas.py), so the
-    # Mosaic program at depth 48 / width 1024 is ~8x the flagship's.  The
-    # fused path is therefore only attempted when a prior successful compile
-    # left the WIDE1024_WARM marker next to the persistent jit cache (warm
-    # replay takes ~minutes); otherwise the section measures the XLA
-    # lax.scan decode (same KV-cache design, compiles in minutes) and says so
-    # in `wide1024_path`.
-    _wide_marker = os.path.expanduser("~/.cache/vmt_jax_cache/WIDE1024_WARM")
-    _wide_fused = os.path.exists(_wide_marker)
+    # The UNROLLED fused kernel is a Mosaic compile wall at this geometry
+    # (>40 min without finishing — it emits all 48 layers into one program);
+    # the r4 layer-grid kernel (ops/decode_grid_pallas.py) compiles the same
+    # step in ~71 s with depth as a sequential grid dimension and serves
+    # batch 64 with int8 caches (the only batch-64 config that fits 15.75 GB
+    # of HBM) at 21.6k tok/s — 3.7x the XLA scan path's best.  Fallback
+    # chain: grid/int8/b64 -> XLA/bf16/b32 -> XLA/bf16/b16.
     if (budget_ok("wide")
             and time.time() - t_start < BENCH_BUDGET_S - 600):
         try:
@@ -454,15 +450,15 @@ def main():
             # HBM enough that 32 no longer fits.
             _, wparams = init_prior(jax.random.PRNGKey(1), wvcfg, wcfg)
             wrow = None
-            # Fused lane minimum forces batch 64; int8 caches (12 GB) are the
-            # only capacity-feasible batch-64 config on one chip.
-            for wb in ((64,) if _wide_fused else (32, 16)):
+            for wb, wkind in ((64, "grid"), (32, "xla"), (16, "xla")):
                 try:
-                    wfn = make_decode_fn(wcfg, wctx, wb,
-                                         mode=SampleMode.GUMBEL,
-                                         cache_dtype=("int8" if _wide_fused
-                                                      else "bfloat16"),
-                                         fused=_wide_fused)
+                    wfn = make_decode_fn(
+                        wcfg, wctx, wb, mode=SampleMode.GUMBEL,
+                        cache_dtype=("int8" if wkind == "grid"
+                                     else "bfloat16"),
+                        weight_dtype=("bfloat16" if wkind == "grid"
+                                      else "float32"),
+                        fused=("grid" if wkind == "grid" else False))
                     wout = wfn(wparams, jax.random.PRNGKey(7), None, None)
                     _ = float(jnp.sum(wout.astype(jnp.float32)))
                     best = float("inf")
@@ -477,19 +473,14 @@ def main():
                         "wide1024_us_per_step": round(best / wctx * 1e6, 1),
                         "wide1024_tokens_per_sec": round(wb / best * wctx),
                         "wide1024_batch": wb,
-                        "wide1024_path": "fused" if _wide_fused else "xla",
+                        "wide1024_path": wkind,
                     }
                     break
                 except Exception as e:
                     _PARTIAL["extra"]["wide1024"] = (
-                        f"b{wb}: {type(e).__name__}: {e}"[:200])
+                        f"{wkind} b{wb}: {type(e).__name__}: {e}"[:200])
             if wrow:
                 _PARTIAL["extra"].update(wrow)
-            if _wide_fused:
-                try:
-                    open(_wide_marker, "w").write("ok\n")
-                except OSError:
-                    pass
         except Exception as e:  # pragma: no cover - VMEM/HBM wall
             _PARTIAL["extra"]["wide1024"] = f"{type(e).__name__}: {e}"[:200]
 

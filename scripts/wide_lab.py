@@ -9,20 +9,22 @@ Embedding(2048,1024), ~160M params): width 1024, depth 48, heads 2
 grid (262144-sample clips @ 3 kHz, hop 32).  Records us/step and the
 implied clips/s per batch size, or the documented VMEM/HBM wall.
 
-Usage: WIDE_FUSED={1|0} python scripts/wide_lab.py [batches...]
+Usage: WIDE_FUSED={grid|1|0} python scripts/wide_lab.py [batches...]
 
-Measured 2026-08-19 (one v5e chip, bf16 caches):
-  * fused=1 (default): Mosaic COLD-COMPILE WALL — the kernel unrolls all 48
-    layers in its body (ops/decode_pallas.py), and a `timeout 2400` run died
-    mid-compile with nothing cached.  Only attempt with >=90 min of budget.
-    Lane minimum batch*heads % 128 == 0 -> batch 64 with heads=2; but note
-    batch-64 bf16 caches are 24 GB, so even a finished compile would OOM —
-    this geometry needs the fused kernel PLUS a smaller-footprint cache
-    layout or multi-chip sharding to serve fast.
-  * fused=0 (WIDE_FUSED=0): the XLA lax.scan path compiles in ~60 s and
-    serves batch 16 at 4979 us/step (3213 tok/s) and batch 32 at 5480
-    us/step (5840 tok/s, 62.3 one-second-clips/s); batch 64 is a 48 GB
-    (f32) / 24 GB (bf16) HBM OOM on the 15.75 GB chip.
+Measured 2026-08-19 (one v5e chip):
+  * WIDE_FUSED=grid (default): the r4 LAYER-GRID kernel
+    (ops/decode_grid_pallas.py — depth as a sequential grid dimension,
+    bf16 weights streamed per layer, online-softmax chunked history, int8
+    caches): compiles in ~71 s and serves batch 64 (12 GB of caches) at
+    2960 us/step — 21,618 tok/s, 230.6 one-second-clips/s.
+  * WIDE_FUSED=1: the depth-UNROLLED kernel (decode_pallas.py) is a Mosaic
+    COLD-COMPILE WALL here — it emits all 48 layers into one program and a
+    `timeout 2400` compile died unfinished; its batch-64 lane minimum would
+    also need int8 caches to fit.  Only attempt with >=90 min of budget.
+  * WIDE_FUSED=0: the XLA lax.scan path (bf16 caches) compiles in ~60 s;
+    batch 16 -> 4979 us/step (3213 tok/s), batch 32 -> 5480 us/step
+    (5840 tok/s); batch 64 is a 24 GB bf16-cache HBM OOM.  bf16 streamed
+    weights measured a no-win on this path (serialization-bound).
 """
 from __future__ import annotations
 
@@ -49,11 +51,13 @@ def main():
     from vae_music_tpu.sample.decode import SampleMode, make_decode_fn
     from vae_music_tpu.utils.profiling import measure_rtt
 
-    fused = os.environ.get("WIDE_FUSED", "1") == "1"
-    # fused lane minimum -> 64, and int8 caches (12 GB) are the only
+    kind = os.environ.get("WIDE_FUSED", "grid")
+    fused = {"grid": "grid", "1": True, "0": False}[kind]
+    # Fused lane minimum -> 64, and int8 caches (12 GB) are the only
     # capacity-feasible batch-64 config; the XLA path fits bf16 up to 32.
     batches = [int(a) for a in sys.argv[1:]] or ([64] if fused else [16, 32])
     cache_dtype = "int8" if fused else "bfloat16"
+    weight_dtype = "bfloat16" if fused == "grid" else "float32"
     pcfg = get_config("JUKEBOX_SMALL_PRIOR")    # width 1024, depth 48, hd 128
     vcfg = get_config("JUKEBOX_VQVAE")
     ctx = vcfg.z_lengths[0]                      # 8192
@@ -73,7 +77,8 @@ def main():
         row = {"batch": batch, "fused": fused}
         try:
             fn = make_decode_fn(pcfg, ctx, batch, mode=SampleMode.GUMBEL,
-                                cache_dtype=cache_dtype, fused=fused)
+                                cache_dtype=cache_dtype, fused=fused,
+                                weight_dtype=weight_dtype)
             out = fn(params, jax.random.PRNGKey(7), None, None)
             _ = float(jnp.sum(out.astype(jnp.float32)))
             iters = 3
@@ -91,12 +96,6 @@ def main():
                 "tokens_per_sec": round(batch / us * 1e6),
                 "clips_1s_per_sec": round(batch * clip_s / best, 1),
             })
-            if fused and batch == 64:   # bench.py reuses this fused compile
-                try:
-                    open(os.path.expanduser(
-                        "~/.cache/vmt_jax_cache/WIDE1024_WARM"), "w").write("ok\n")
-                except OSError:
-                    pass
         except Exception as e:  # VMEM/HBM wall — record it
             row["wall"] = f"{type(e).__name__}: {str(e)[:160]}"
         print(json.dumps(row), flush=True)

@@ -1,0 +1,503 @@
+"""Layer-grid fused decode-step kernel (Pallas/TPU) — depth-scalable variant.
+
+The depth-unrolled kernel in ``decode_pallas.py`` emits every transformer
+layer into one Mosaic program with all folded weights VMEM-resident.  That is
+the right call at the flagship geometry (width 128, depth 6: ~1.5 MB of
+weights, seconds to compile, 41.9 us/step) and the wrong one at
+JUKEBOX_SMALL_PRIOR scale (width 1024, depth 48, ctx 8192 —
+/root/reference/SMALL_PRIOR_model_structuree:2): the Mosaic program is ~8x
+larger (a cold compile exceeded 40 min on v5e without finishing) and the
+folded f32 weights (~700 MB) could never be VMEM-resident anyway.
+
+This kernel makes depth a GRID dimension instead: ``grid=(depth,)``, one grid
+step per layer.  TPU grid steps execute sequentially on one core, so
+
+  * program size and compile time are O(1) in depth — one layer body, all
+    three attention patterns emitted once behind ``pl.when`` predicates on
+    the layer's pattern id (read from an SMEM table, so the SAME program
+    serves any row/col/prev_row schedule);
+  * per-layer weights arrive via BlockSpec index_map — Mosaic's grid
+    pipeline double-buffers the next layer's weight DMA behind the current
+    layer's compute, which IS the weight-streaming schedule a
+    hundreds-of-MB decode needs;
+  * the residual stream x lives in VMEM scratch carried across grid steps
+    (scratch persists across the grid on a core);
+  * row/prev_row history attention is ONLINE-SOFTMAX CHUNKED
+    (flash-decoding): the kernel never holds a whole (block_len, hd, nh_t)
+    history slab in VMEM — 33.5 MB bf16 at the wide geometry — only
+    double-buffered (chunk, hd, nh_t) pieces plus (1, nh_t) running
+    max/sum and an (hd, nh_t) accumulator.  Row chunks entirely above the
+    current offset are skipped (no DMA, no math), exactly like the
+    unrolled kernel's predicated chunks.
+
+Cache layout, int8 scale factoring, and the masked-race argument for
+overlapping the current-position cache write with history reads are all
+inherited unchanged from ``decode_pallas.py`` (same tile-major
+``decode_cache_shape`` caches — the two kernels are drop-in siblings).
+
+The logits head / sampling / next-token embedding stay OUTSIDE this kernel
+(XLA around the scan body): at the geometries where the grid kernel is the
+dispatch winner the step is >1 ms, so per-step XLA dispatch is noise, and
+keeping the tail out keeps the grid program small.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+from vae_music_tpu.ops.decode_pallas import (
+    LANE,
+    SCALE_DTYPE,
+    _interp,
+)
+
+try:
+    from jax.experimental.pallas import tpu as pltpu
+
+    _HAS_PLTPU = True
+except Exception:  # pragma: no cover
+    pltpu = None
+    _HAS_PLTPU = False
+
+
+def grid_decode_chunk(block_len: int, hd: int, nh_t: int,
+                      cache_bytes: int) -> int:
+    """History chunk rows: the largest divisor of ``block_len`` keeping one
+    double-buffered k+v chunk pair within ~8 MB of VMEM (the weight blocks
+    need the rest of the budget)."""
+    budget = 8 * 1024 * 1024
+    best = None
+    for c in range(1, block_len + 1):
+        if block_len % c:
+            continue
+        if 2 * 2 * c * hd * nh_t * cache_bytes <= budget:
+            best = c
+    return best or 1
+
+
+def _make_grid_kernel(depth, n, heads, hd, width, blocks, block_len, chunk,
+                      cache_dtype, lane_tiles):
+    nh = n * heads
+    nh_t = nh // lane_tiles
+    hh = heads * hd
+    inv_sqrt_hd = 1.0 / math.sqrt(hd)
+    quant = jnp.dtype(cache_dtype) == jnp.dtype(jnp.int8)
+    n_parts = 4 if quant else 2
+    n_chunks = block_len // chunk
+
+    def kernel(*refs):
+        neg = jnp.float32(-1e9)
+        it = iter(refs)
+
+        def nxt():
+            return next(it)
+
+        scalar_ref = nxt()                                  # SMEM (1, 1): t
+        pat_ref = nxt()                                     # SMEM (1, depth)
+        x_ref = nxt()                                       # VMEM (n, width)
+        uc_ref = nxt()                                      # VMEM (1, n, 2, w)
+        kc_ref, vc_ref = nxt(), nxt()                       # ANY (HBM)
+        ksc_ref = nxt() if quant else None
+        vsc_ref = nxt() if quant else None
+        (qkv_k_ref, qkv_b_ref, out_k_ref, out_b_ref,
+         ln1s_ref, ln1b_ref, ln2s_ref, ln2b_ref,
+         mlp_k_ref, mlp_b_ref) = (nxt() for _ in range(10))  # VMEM blocks
+        x_out_ref = nxt()
+        uc_out_ref = nxt()
+        kc_out_ref, vc_out_ref = nxt(), nxt()
+        ksc_out_ref = nxt() if quant else None
+        vsc_out_ref = nxt() if quant else None
+        xs_ref = nxt()                                      # VMEM (n, width)
+        khist_ref, vhist_ref = nxt(), nxt()                 # (2, chunk, hd, nh_t)
+        kshist_ref = nxt() if quant else None
+        vshist_ref = nxt() if quant else None
+        kcol_ref, vcol_ref = nxt(), nxt()                   # (blocks, 1, hd, nh_t)
+        kscol_ref = nxt() if quant else None
+        vscol_ref = nxt() if quant else None
+        kt_ref, vt_ref = nxt(), nxt()                       # staging
+        kst_ref = nxt() if quant else None
+        vst_ref = nxt() if quant else None
+        m_ref, s_ref = nxt(), nxt()                         # (1, nh_t) f32
+        acc_ref = nxt()                                     # (hd, nh_t) f32
+        attn_ref = nxt()                                    # (hd, nh) f32
+        hist_sems, col_sems, write_sems = nxt(), nxt(), nxt()
+
+        li = pl.program_id(0)
+        t = scalar_ref[0, 0]
+        b = t // block_len
+        i = t - b * block_len
+        b_prev = jnp.maximum(b - 1, 0)
+        pat = pat_ref[0, li]
+
+        @pl.when(li == 0)
+        def _():
+            xs_ref[:] = x_ref[:]
+
+        def ln(x, scale, bias):
+            mu = jnp.mean(x, axis=-1, keepdims=True)
+            var = jnp.mean(jnp.square(x - mu), axis=-1, keepdims=True)
+            return (x - mu) * jax.lax.rsqrt(var + 1e-6) * scale + bias
+
+        def to_lane_major(a):
+            return jnp.concatenate(
+                [a[:, h * hd:(h + 1) * hd].T for h in range(heads)], axis=1)
+
+        def from_lane_major(a):
+            return jnp.concatenate(
+                [a[:, h * n:(h + 1) * n].T for h in range(heads)], axis=1)
+
+        def _f32(a):
+            return a.astype(jnp.float32) if quant else a
+
+        hist_srcs = ((kc_ref, vc_ref, ksc_ref, vsc_ref) if quant
+                     else (kc_ref, vc_ref))
+        hist_dsts = ((khist_ref, vhist_ref, kshist_ref, vshist_ref) if quant
+                     else (khist_ref, vhist_ref))
+        col_dsts = ((kcol_ref, vcol_ref, kscol_ref, vscol_ref) if quant
+                    else (kcol_ref, vcol_ref))
+
+        x = xs_ref[:]                                       # (n, width) f32
+        u = ln(x, ln1s_ref[0], ln1b_ref[0])
+        uc_li = uc_ref[0]                                   # (n, 2, width)
+        u0 = uc_li[:, 0, :]
+        u1 = uc_li[:, 1, :]
+        wdt = qkv_k_ref.dtype
+
+        def wdot(a, w):
+            # bf16-streamed weights run the MXU in bf16 with f32 accumulate;
+            # f32 weights keep the f32 path (exactness tests).
+            return jnp.dot(a.astype(wdt), w,
+                           preferred_element_type=jnp.float32)
+
+        qkv = (wdot(u0, qkv_k_ref[0, 0]) + wdot(u1, qkv_k_ref[0, 1])
+               + wdot(u, qkv_k_ref[0, 2])
+               + qkv_b_ref[0].astype(jnp.float32))
+        uc_out_ref[0, :, 0] = u1
+        uc_out_ref[0, :, 1] = u
+
+        q_t = to_lane_major(qkv[:, :hh])                    # (hd, NH)
+        k_t = to_lane_major(qkv[:, hh:2 * hh])
+        v_t = to_lane_major(qkv[:, 2 * hh:])
+
+        def _quantize(a):
+            amax = jnp.max(jnp.abs(a), axis=0, keepdims=True)
+            scale = (amax * jnp.float32(1.0 / 127.0)).astype(SCALE_DTYPE)
+            s = scale.astype(jnp.float32)
+            inv = jnp.where(s > 0, 1.0 / jnp.where(s > 0, s, 1.0), 0.0)
+            q = jnp.clip(jnp.round(a * inv), -127.0, 127.0).astype(jnp.int8)
+            return q, scale
+
+        for ti in range(lane_tiles):
+            k_seg = k_t[:, ti * nh_t:(ti + 1) * nh_t]
+            v_seg = v_t[:, ti * nh_t:(ti + 1) * nh_t]
+            if quant:
+                kq, ks_cur = _quantize(k_seg)
+                vq, vs_cur = _quantize(v_seg)
+                kt_ref[ti, 0, 0] = kq
+                vt_ref[ti, 0, 0] = vq
+                kst_ref[ti, 0, 0] = ks_cur
+                vst_ref[ti, 0, 0] = vs_cur
+            else:
+                kt_ref[ti, 0, 0] = k_seg.astype(cache_dtype)
+                vt_ref[ti, 0, 0] = v_seg.astype(cache_dtype)
+        wk = pltpu.make_async_copy(
+            kt_ref, kc_out_ref.at[li, :, pl.ds(b, 1), pl.ds(i, 1), :, :],
+            write_sems.at[0])
+        wv = pltpu.make_async_copy(
+            vt_ref, vc_out_ref.at[li, :, pl.ds(b, 1), pl.ds(i, 1), :, :],
+            write_sems.at[1])
+        wk.start()
+        wv.start()
+        if quant:
+            wks = pltpu.make_async_copy(
+                kst_ref, ksc_out_ref.at[li, :, pl.ds(b, 1), pl.ds(i, 1), :, :],
+                write_sems.at[2])
+            wvs = pltpu.make_async_copy(
+                vst_ref, vsc_out_ref.at[li, :, pl.ds(b, 1), pl.ds(i, 1), :, :],
+                write_sems.at[3])
+            wks.start()
+            wvs.start()
+
+        row_ids = jax.lax.broadcasted_iota(jnp.int32, (chunk, nh_t), 0)
+        blk_ids = jax.lax.broadcasted_iota(jnp.int32, (blocks, nh_t), 0)
+
+        for ti in range(lane_tiles):
+            def hist_chunk_dma(c, part, blk, ti=ti):
+                """Chunk c of history block ``blk`` of THIS layer -> slot
+                c%2 (tile-major cache: one contiguous burst per chunk)."""
+                slot = c % 2
+                src = hist_srcs[part].at[li, ti, pl.ds(blk, 1),
+                                         pl.ds(c * chunk, chunk), :, :]
+                dst = hist_dsts[part].at[pl.ds(slot, 1), pl.ds(0, chunk)]
+                return pltpu.make_async_copy(src, dst,
+                                             hist_sems.at[slot, part])
+
+            def col_dma(part, ti=ti):
+                src = hist_srcs[part].at[li, ti, :, pl.ds(i, 1), :, :]
+                return pltpu.make_async_copy(src, col_dsts[part],
+                                             col_sems.at[part])
+
+            ts = ti * nh_t
+            q_s = jax.lax.slice_in_dim(q_t, ts, ts + nh_t, axis=1)
+            k_s = jax.lax.slice_in_dim(k_t, ts, ts + nh_t, axis=1)
+            v_s = jax.lax.slice_in_dim(v_t, ts, ts + nh_t, axis=1)
+            logit_cur = (jnp.sum(k_s * q_s, axis=0, keepdims=True)
+                         * inv_sqrt_hd)
+
+            # ---- row / prev_row: online-softmax over history chunks ------
+            def run_hist(blk, hi, with_mask):
+                """Flash-decoding accumulate over chunks c with
+                c*chunk < hi of history block ``blk``; with_mask masks rows
+                at global offset >= i (row pattern)."""
+                m_ref[:] = jnp.full((1, nh_t), neg, jnp.float32)
+                s_ref[:] = jnp.zeros((1, nh_t), jnp.float32)
+                acc_ref[:] = jnp.zeros((hd, nh_t), jnp.float32)
+                for c in range(min(2, n_chunks)):
+                    @pl.when(c * chunk < hi)
+                    def _(c=c):
+                        for part in range(n_parts):
+                            hist_chunk_dma(c, part, blk).start()
+                for c in range(n_chunks):
+                    cs = c * chunk
+
+                    @pl.when(cs < hi)
+                    def _(c=c, cs=cs):
+                        slot = c % 2
+                        for part in range(n_parts):
+                            hist_chunk_dma(c, part, blk).wait()
+                        k_h = khist_ref[slot, :chunk]       # (chunk, hd, nh_t)
+                        v_h = vhist_ref[slot, :chunk]
+                        lg = jnp.sum(_f32(k_h) * jnp.expand_dims(q_s, 0),
+                                     axis=1) * inv_sqrt_hd
+                        if quant:
+                            lg = lg * kshist_ref[slot, :chunk, 0].astype(
+                                jnp.float32)
+                        if with_mask:
+                            lg = jnp.where(row_ids + cs < i, lg, neg)
+                        m_old = m_ref[:]
+                        m_new = jnp.maximum(
+                            m_old, jnp.max(lg, axis=0, keepdims=True))
+                        alpha = jnp.exp(m_old - m_new)
+                        p = jnp.exp(lg - m_new)             # (chunk, nh_t)
+                        s_ref[:] = (s_ref[:] * alpha
+                                    + jnp.sum(p, axis=0, keepdims=True))
+                        if quant:
+                            p = p * vshist_ref[slot, :chunk, 0].astype(
+                                jnp.float32)
+                        acc_ref[:] = (acc_ref[:] * alpha
+                                      + jnp.sum(jnp.expand_dims(p, 1)
+                                                * _f32(v_h), axis=0))
+                        m_ref[:] = m_new
+                        # Slot consumed — refill for chunk c+2 (double
+                        # buffer; started only after this chunk's values
+                        # were read, matching the unrolled kernel's
+                        # consume-then-refill discipline).
+                        if c + 2 < n_chunks:
+                            @pl.when((c + 2) * chunk < hi)
+                            def _(c=c):
+                                for part in range(n_parts):
+                                    hist_chunk_dma(c + 2, part, blk).start()
+
+            @pl.when(pat == 0)
+            def _():
+                # row: history strictly below offset i, current appended.
+                run_hist(b, i, with_mask=True)
+                m_old = m_ref[:]
+                m_new = jnp.maximum(m_old, logit_cur)
+                alpha = jnp.exp(m_old - m_new)
+                p_cur = jnp.exp(logit_cur - m_new)
+                s = s_ref[:] * alpha + p_cur
+                acc = acc_ref[:] * alpha + p_cur * v_s
+                attn_ref[:, ts:ts + nh_t] = acc / s
+
+            @pl.when(pat == 2)
+            def _():
+                # prev_row: whole previous block; zero output at b == 0.
+                run_hist(b_prev, block_len, with_mask=False)
+                attn = (acc_ref[:] / jnp.maximum(s_ref[:], 1e-30)
+                        ) * (b > 0).astype(jnp.float32)
+                attn_ref[:, ts:ts + nh_t] = attn
+
+            @pl.when(pat == 1)
+            def _():
+                # col: column i across blocks < b, current appended (small —
+                # whole slab, ordinary softmax).
+                for part in range(n_parts):
+                    col_dma(part).start()
+                for part in range(n_parts):
+                    col_dma(part).wait()
+                k_h = kcol_ref[:, 0]                        # (blocks, hd, nh_t)
+                v_h = vcol_ref[:, 0]
+                lg = jnp.sum(_f32(k_h) * jnp.expand_dims(q_s, 0),
+                             axis=1) * inv_sqrt_hd
+                if quant:
+                    lg = lg * kscol_ref[:, 0, 0].astype(jnp.float32)
+                lg = jnp.where(blk_ids < b, lg, neg)
+                full = jnp.concatenate([lg, logit_cur], axis=0)
+                w = jax.nn.softmax(full, axis=0)            # (blocks+1, nh_t)
+                w_blk = jax.lax.slice_in_dim(w, 0, blocks, axis=0)
+                if quant:
+                    w_blk = w_blk * vscol_ref[:, 0, 0].astype(jnp.float32)
+                w_cur = jax.lax.slice_in_dim(w, blocks, blocks + 1, axis=0)
+                attn_ref[:, ts:ts + nh_t] = (
+                    jnp.sum(jnp.expand_dims(w_blk, 1) * _f32(v_h), axis=0)
+                    + w_cur * v_s)
+
+        attn_nh = from_lane_major(attn_ref[:])              # (n, hh)
+        res1 = wdot(attn_nh, out_k_ref[0]) + out_b_ref[0].astype(jnp.float32)
+        h = ln(x + res1, ln2s_ref[0], ln2b_ref[0])
+        res2 = wdot(h, mlp_k_ref[0]) + mlp_b_ref[0].astype(jnp.float32)
+        xs_ref[:] = res2 + res1 + x
+
+        wk.wait()
+        wv.wait()
+        if quant:
+            wks.wait()
+            wvs.wait()
+
+        @pl.when(li == depth - 1)
+        def _():
+            x_out_ref[:] = xs_ref[:]
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("depth", "n", "heads", "hd", "width", "blocks",
+                     "block_len", "interpret", "lane_tiles", "chunk"))
+def grid_decode_step(
+    scalars: jnp.ndarray,   # (1, 1) int32: [t]
+    pattern_arr: jnp.ndarray,  # (1, depth) int32 attention-pattern table
+    x: jnp.ndarray,         # (N, width) f32
+    uc: jnp.ndarray,        # (depth, N, 2, width) f32
+    kc: jnp.ndarray,        # (depth, lane_tiles, blocks, block_len, hd, nh_t)
+    vc: jnp.ndarray,        #   f32 / bf16 / int8 — decode_cache_shape layout
+    weights: Tuple[jnp.ndarray, ...],
+    *,
+    kscale=None,
+    vscale=None,
+    depth: int, n: int, heads: int, hd: int, width: int,
+    blocks: int, block_len: int,
+    interpret=False,
+    lane_tiles: int = 0,
+    chunk: int = 0,         # 0 = auto (grid_decode_chunk)
+):
+    """One decode step over ``grid=(depth,)``: layer li at grid step li.
+
+    ``weights`` is the SAME stacked tuple the unrolled kernel takes
+    (qkv_k, qkv_b, out_k, out_b, ln1s, ln1b, ln2s, ln2b, mlp_k, mlp_b, all
+    leading-depth) — the matrices may be bf16 for streamed serving.  Returns
+    (x_out, uc, kc, vc[, ks, vs]); caches aliased in place.  The logits
+    head / sampling run OUTSIDE (XLA)."""
+    nh = n * heads
+    cache_dtype = kc.dtype
+    quant = jnp.dtype(cache_dtype) == jnp.dtype(jnp.int8)
+    assert quant == (kscale is not None) == (vscale is not None)
+    if not interpret:
+        assert nh % LANE == 0, (
+            f"fused decode needs batch*heads % {LANE} == 0, got {nh}")
+    assert kc.ndim == 6, "caches are tile-major — use decode_cache_shape"
+    if lane_tiles == 0:
+        lane_tiles = kc.shape[1]
+    assert kc.shape[1] == lane_tiles and nh % lane_tiles == 0
+    nh_t = nh // lane_tiles
+    if chunk == 0:
+        chunk = grid_decode_chunk(block_len, hd, nh_t,
+                                  jnp.dtype(cache_dtype).itemsize)
+    assert block_len % chunk == 0
+    n_parts = 4 if quant else 2
+    kernel = _make_grid_kernel(depth, n, heads, hd, width, blocks, block_len,
+                               chunk, cache_dtype, lane_tiles)
+
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+
+    def vmem_full(shape):
+        # Whole-array VMEM block, same for every grid step (copied once).
+        return pl.BlockSpec(shape, lambda li: (0,) * len(shape),
+                            memory_space=pltpu.VMEM)
+
+    def per_layer(shape):
+        # Leading-depth arrays stream one layer block per grid step — the
+        # Mosaic pipeline double-buffers the next layer's DMA behind compute.
+        nd = len(shape)
+        return pl.BlockSpec((1,) + shape[1:],
+                            lambda li: (li,) + (0,) * (nd - 1),
+                            memory_space=pltpu.VMEM)
+
+    # Mosaic's BlockSpec rule wants a block's last two dims divisible by
+    # (8, 128) or equal to the array's; lift 2D per-layer vectors (biases,
+    # layernorm params) to (depth, 1, X) so their (1, 1, X) blocks qualify.
+    weights = tuple(w.reshape(w.shape[0], 1, w.shape[1]) if w.ndim == 2
+                    else w for w in weights)
+    w_specs = [per_layer(w.shape) for w in weights]
+    scale_args = [kscale, vscale] if quant else []
+    scale_specs = [any_spec] * len(scale_args)
+    scale_shapes = [jax.ShapeDtypeStruct(s.shape, s.dtype)
+                    for s in scale_args]
+    scale_scratch = ([
+        pltpu.VMEM((2, chunk, 1, nh_t), SCALE_DTYPE),       # kshist
+        pltpu.VMEM((2, chunk, 1, nh_t), SCALE_DTYPE),       # vshist
+    ] if quant else [])
+    scale_col_scratch = ([
+        pltpu.VMEM((blocks, 1, 1, nh_t), SCALE_DTYPE),      # kscol
+        pltpu.VMEM((blocks, 1, 1, nh_t), SCALE_DTYPE),      # vscol
+    ] if quant else [])
+    scale_staging = ([
+        pltpu.VMEM((lane_tiles, 1, 1, 1, nh_t), SCALE_DTYPE),
+        pltpu.VMEM((lane_tiles, 1, 1, 1, nh_t), SCALE_DTYPE),
+    ] if quant else [])
+    # uc/kc/vc(/ks/vs) updated in place: input j (after scalars, patterns,
+    # x) -> output j-2 (outputs: x_out, uc, kc, vc[, ks, vs]).
+    aliases = {j: j - 2 for j in range(3, 6 + len(scale_args))}
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(depth,),
+        in_specs=([smem, smem,
+                   vmem_full(x.shape),
+                   per_layer(uc.shape),
+                   any_spec, any_spec] + scale_specs + w_specs),
+        out_specs=[vmem_full(x.shape), per_layer(uc.shape),
+                   any_spec, any_spec] + scale_specs,
+        out_shape=[
+            jax.ShapeDtypeStruct((n, width), jnp.float32),
+            jax.ShapeDtypeStruct(uc.shape, jnp.float32),
+            jax.ShapeDtypeStruct(kc.shape, cache_dtype),
+            jax.ShapeDtypeStruct(vc.shape, cache_dtype),
+        ] + scale_shapes,
+        input_output_aliases=aliases,
+        scratch_shapes=[
+            pltpu.VMEM((n, width), jnp.float32),            # xs residual
+            pltpu.VMEM((2, chunk, hd, nh_t), cache_dtype),  # khist
+            pltpu.VMEM((2, chunk, hd, nh_t), cache_dtype),  # vhist
+        ] + scale_scratch + [
+            pltpu.VMEM((blocks, 1, hd, nh_t), cache_dtype),  # kcol
+            pltpu.VMEM((blocks, 1, hd, nh_t), cache_dtype),  # vcol
+        ] + scale_col_scratch + [
+            pltpu.VMEM((lane_tiles, 1, 1, hd, nh_t), cache_dtype),  # kt
+            pltpu.VMEM((lane_tiles, 1, 1, hd, nh_t), cache_dtype),  # vt
+        ] + scale_staging + [
+            pltpu.VMEM((1, nh_t), jnp.float32),             # m running max
+            pltpu.VMEM((1, nh_t), jnp.float32),             # s running sum
+            pltpu.VMEM((hd, nh_t), jnp.float32),            # acc
+            pltpu.VMEM((hd, nh), jnp.float32),              # attn (all tiles)
+            pltpu.SemaphoreType.DMA((2, n_parts)),          # hist chunk sems
+            pltpu.SemaphoreType.DMA((n_parts,)),            # col sems
+            pltpu.SemaphoreType.DMA((n_parts,)),            # write sems
+        ],
+        interpret=_interp(interpret),
+        compiler_params=(pltpu.CompilerParams(
+            has_side_effects=True,
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ) if _HAS_PLTPU and not interpret else None),
+    )(scalars, pattern_arr, x, uc, kc, vc, *scale_args, *weights)
+    return out

@@ -109,7 +109,8 @@ def make_decode_fn(
     cache_dtype: str = "float32",
     sample_in_kernel: Optional[bool] = None,
     hist_slots: int = 0,        # 0 = kernel default; perf-lab knob
-    weight_dtype: str = "float32",  # XLA path: folded-weight storage dtype
+    weight_dtype: str = "float32",  # XLA/grid paths: weight storage dtype
+    grid_chunk: int = 0,        # fused="grid": history chunk rows (0 = auto)
 ):
     """Build a jitted sampler for one prior level.
 
@@ -140,6 +141,11 @@ def make_decode_fn(
         from vae_music_tpu.ops.decode_pallas import decode_pallas_available
 
         fused = decode_pallas_available(n_samples, heads)
+    # fused="grid": the layer-grid kernel (ops/decode_grid_pallas.py) —
+    # compile size O(1) in depth, weights streamed per layer, online-softmax
+    # chunked history.  The dispatch choice for geometries where the
+    # unrolled kernel hits its Mosaic compile wall (depth x width large).
+    grid = fused == "grid"
     patterns = tuple(cfg.attn_pattern(li) for li in range(depth))
     if sample_in_kernel is None:
         # Auto: the fully-fused step (head + sampling + next-embed inside the
@@ -156,8 +162,8 @@ def make_decode_fn(
         # real TPUs; narrower models keep the fused layers but sample in XLA
         # (interpret mode has no alignment constraint).
         width_ok = bool(fused_interpret) or width % 128 == 0
-        sample_in_kernel = (fused and prime_len == 0 and not return_logits
-                            and ok_mode and width_ok)
+        sample_in_kernel = (bool(fused) and not grid and prime_len == 0
+                            and not return_logits and ok_mode and width_ok)
     assert not (sample_in_kernel and not fused)
     assert not (sample_in_kernel and (prime_len > 0 or return_logits)), (
         "sample_in_kernel supports the unprimed, no-logits fast paths only")
@@ -327,6 +333,38 @@ def make_decode_fn(
             return (next_token, tuple(k_cache), tuple(v_cache),
                     tuple(u_cache), step_rng), out
 
+        # --- layer-grid kernel path: one grid step per layer ---------------
+        def grid_scan_step(carry, t):
+            token, uc, kc, vc, scales, step_rng = carry
+            x = jnp.take(emb, token, axis=0)
+            if y_cond is not None:
+                x = jnp.where(t == 0, y_cond[:, 0].astype(x.dtype), x)
+            x = x * sqrt_d
+            x = x + jax.lax.dynamic_slice_in_dim(pos, t, 1, axis=0)[0]
+            if x_cond_stream is not None:
+                x = x + jax.lax.dynamic_slice_in_dim(
+                    x_cond_stream, t, 1, axis=1)[:, 0]
+            scalars = jnp.reshape(t, (1, 1)).astype(jnp.int32)
+            from vae_music_tpu.ops.decode_grid_pallas import grid_decode_step
+
+            outs = grid_decode_step(
+                scalars, pattern_arr, x.astype(jnp.float32), uc, kc, vc,
+                fused_weights,
+                kscale=scales[0] if quant else None,
+                vscale=scales[1] if quant else None,
+                depth=depth, n=n_samples, heads=heads, hd=hd, width=width,
+                blocks=blocks, block_len=block_len, chunk=grid_chunk,
+                interpret=fused_interpret)
+            x, uc, kc, vc = outs[:4]
+            scales = tuple(outs[4:])
+            logits = x @ out_k + out_b
+            step_rng, sub = jax.random.split(step_rng)
+            next_token = apply_prime(
+                sample_token(sub, logits, mode, temperature, top_k,
+                             top_p), t)
+            out = (next_token, logits) if return_logits else next_token
+            return (next_token, uc, kc, vc, scales, step_rng), out
+
         # --- fused-kernel path: all layers of a step in one Pallas call ----
         def fused_scan_step(carry, t):
             token, uc, kc, vc, scales, step_rng = carry
@@ -375,6 +413,16 @@ def make_decode_fn(
                 jnp.stack([lp["mlp"]["kernel"] for lp in layers]),
                 jnp.stack([lp["mlp"]["bias"] for lp in layers]),
             )
+            if grid:
+                pattern_arr = jnp.asarray([patterns], jnp.int32)
+                if wdt != jnp.float32:
+                    # Grid path streams the big matrices per layer from HBM
+                    # every step — bf16 storage halves that traffic and runs
+                    # the MXU in its native mixed-precision mode (f32 accum).
+                    fw = list(fused_weights)
+                    for idx in (0, 2, 8):       # qkv_k, out_k, mlp_k
+                        fw[idx] = fw[idx].astype(wdt)
+                    fused_weights = tuple(fw)
             uc0 = jnp.zeros((depth, n_samples, 2, width), jnp.float32)
             # Tile-major KV caches: each (layer, lane-tile) slab contiguous
             # in HBM (full-burst history DMAs at any batch/tiling).
@@ -468,8 +516,9 @@ def make_decode_fn(
             return jnp.concatenate([token0[:, None], sampled.T], axis=1)
         if fused:
             carry0 = (token0, uc0, kc0, vc0, scales0, rng)
-            _, outs = jax.lax.scan(fused_scan_step, carry0,
-                                   jnp.arange(ctx_len))
+            _, outs = jax.lax.scan(
+                grid_scan_step if grid else fused_scan_step, carry0,
+                jnp.arange(ctx_len))
         else:
             carry0 = (token0, k_cache0, v_cache0, u_cache0, rng)
             # unroll=1 measured fastest on TPU v5e (higher unroll inflates the
