@@ -227,6 +227,22 @@ def _jukebox_vqvae() -> VQVAEConfig:
     ).validate()
 
 
+def _jukebox_chain_top() -> PriorConfig:
+    # Chain-wired wide TOP prior: level 1 of the JUKEBOX_VQVAE pair (ctx
+    # 262144/256 = 1024, bins = 1024 + 1 start token), same width-1024 /
+    # depth-48 transformer geometry as the SMALL_PRIOR dump
+    # (/root/reference/SMALL_PRIOR_model_structuree:2).  JUKEBOX_SMALL_PRIOR
+    # keeps the dump's standalone ctx-8192/bins-2049 geometry for the
+    # training/serving benchmarks; THIS config is what the full wide
+    # ancestral chain (top -> ConditionerNet -> upsampler -> VQ decode,
+    # /root/reference/Sampler.py:72-109) trains and samples at level 1.
+    return PriorConfig(
+        level=1, levels=2, bins=1025, width=1024, depth=48, heads=2,
+        blocks=8, attn_stacks=1, dropout=0.0, genre_classes=None,
+        dtype="bfloat16", remat=True,
+    )
+
+
 def _jukebox_small_upsampler() -> PriorConfig:
     # Production-scale geometry matching the Jukebox SMALL_UPSAMPLER dump
     # (/root/reference/SMALL_UPSAMPLER_model_structure:2-80): conditioner
@@ -256,6 +272,7 @@ CONFIGS = {
     "FULL_PIPELINE": _full_pipeline,
     "JUKEBOX_VQVAE": _jukebox_vqvae,
     "JUKEBOX_SMALL_PRIOR": _jukebox_small_prior,
+    "JUKEBOX_CHAIN_TOP": _jukebox_chain_top,
     "JUKEBOX_SMALL_UPSAMPLER": _jukebox_small_upsampler,
 }
 

@@ -279,7 +279,8 @@ def _make_grid_kernel(depth, n, heads, hd, width, blocks, block_len, chunk,
                             lg = lg * kshist_ref[slot, :chunk, 0].astype(
                                 jnp.float32)
                         if with_mask:
-                            lg = jnp.where(row_ids + cs < i, lg, neg)
+                            keep = row_ids + cs < i
+                            lg = jnp.where(keep, lg, neg)
                         m_old = m_ref[:]
                         m_new = jnp.maximum(
                             m_old, jnp.max(lg, axis=0, keepdims=True))
@@ -290,6 +291,13 @@ def _make_grid_kernel(depth, n, heads, hd, width, blocks, block_len, chunk,
                         if quant:
                             p = p * vshist_ref[slot, :chunk, 0].astype(
                                 jnp.float32)
+                        if with_mask:
+                            # Re-mask AFTER the v-scale multiply (advisor r4):
+                            # the masked rows include position i, whose cache
+                            # entry is being DMA-written concurrently — a torn
+                            # read yielding a NaN bit pattern would survive
+                            # p==0 (0*NaN=NaN) without this hard zero.
+                            p = jnp.where(keep, p, 0.0)
                         acc_ref[:] = (acc_ref[:] * alpha
                                       + jnp.sum(jnp.expand_dims(p, 1)
                                                 * _f32(v_h), axis=0))
@@ -316,13 +324,21 @@ def _make_grid_kernel(depth, n, heads, hd, width, blocks, block_len, chunk,
                 acc = acc_ref[:] * alpha + p_cur * v_s
                 attn_ref[:, ts:ts + nh_t] = acc / s
 
-            @pl.when(pat == 2)
+            @pl.when(jnp.logical_and(pat == 2, b > 0))
             def _():
-                # prev_row: whole previous block; zero output at b == 0.
+                # prev_row: whole previous block — fully written by earlier
+                # steps, so no read ever races the current position's cache
+                # write (advisor r4: the old b==0 path walked the
+                # concurrently-written block and relied on a final
+                # *(b>0) zero multiply, which a torn-read NaN survives).
                 run_hist(b_prev, block_len, with_mask=False)
-                attn = (acc_ref[:] / jnp.maximum(s_ref[:], 1e-30)
-                        ) * (b > 0).astype(jnp.float32)
-                attn_ref[:, ts:ts + nh_t] = attn
+                attn_ref[:, ts:ts + nh_t] = (
+                    acc_ref[:] / jnp.maximum(s_ref[:], 1e-30))
+
+            @pl.when(jnp.logical_and(pat == 2, b == 0))
+            def _():
+                # prev_row at block 0 is zero by definition — no DMA, no math.
+                attn_ref[:, ts:ts + nh_t] = jnp.zeros((hd, nh_t), jnp.float32)
 
             @pl.when(pat == 1)
             def _():
@@ -344,6 +360,12 @@ def _make_grid_kernel(depth, n, heads, hd, width, blocks, block_len, chunk,
                 w_blk = jax.lax.slice_in_dim(w, 0, blocks, axis=0)
                 if quant:
                     w_blk = w_blk * vscol_ref[:, 0, 0].astype(jnp.float32)
+                # Hard-zero the masked blocks AFTER the scale multiply: the
+                # col DMA reads column i of EVERY block including block b,
+                # whose (b, i) entry is being written concurrently — the
+                # underflowed softmax zero would not survive a torn-read NaN
+                # in the value/scale (0*NaN=NaN).
+                w_blk = jnp.where(blk_ids < b, w_blk, 0.0)
                 w_cur = jax.lax.slice_in_dim(w, blocks, blocks + 1, axis=0)
                 attn_ref[:, ts:ts + nh_t] = (
                     jnp.sum(jnp.expand_dims(w_blk, 1) * _f32(v_h), axis=0)

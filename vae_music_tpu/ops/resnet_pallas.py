@@ -164,7 +164,16 @@ def fused_dilated_resnet(
         t_global=t, compute_dtype=compute_dtype)
 
     flops = 2 * n * t * (3 * c) * c * 2 * len(dilations)
-    bytes_accessed = 2 * n * t * c * x.dtype.itemsize + 4 * w0.size * 4
+    # Input traffic includes the xov halo-window gather (advisor r4): the
+    # pre-gathered overlapping windows read AND re-write the input stream
+    # once more, inflated by the 2*halo/bt overlap share, before the kernel
+    # reads the windows and writes the output.
+    # read xp + write out (1 each) plus write xov + kernel-read xov
+    # (1 + 2*halo/bt each, the window overlap share).
+    xov_factor = 1.0 + 2.0 * halo / bt
+    bytes_accessed = int(
+        n * t * c * x.dtype.itemsize * (2 + 2 * xov_factor)
+        + 4 * w0.size * 4)
 
     return pl.pallas_call(
         kernel,

@@ -189,10 +189,24 @@ def pp_state_sharding(mesh: Mesh, state: Any, axis_name: str = "pipe") -> Any:
     repl = NamedSharding(mesh, P())
     n_stages = mesh.shape[axis_name]
 
+    def _key_name(k):
+        # DictKey(key=...), GetAttrKey(name=...), SequenceKey(idx=...)
+        return getattr(k, "key", getattr(k, "name", None))
+
     def spec(path, leaf):
-        in_stack = any("stacked" in str(k) for k in path)
+        # Exact key match (advisor r4): substring matching on str(k) would
+        # pipe-shard any future leaf whose key merely CONTAINS 'stacked'.
+        in_stack = any(_key_name(k) == "stacked" for k in path)
         shape = getattr(leaf, "shape", ())
-        if in_stack and len(shape) >= 1 and shape[0] % n_stages == 0:
+        if in_stack and len(shape) >= 1:
+            if shape[0] % n_stages != 0:
+                # A stacked layer leaf that cannot split evenly is a config
+                # error — silently replicating it would desync the per-stage
+                # weights from the pipelined apply's stage slicing.
+                raise ValueError(
+                    f"stacked leaf at {jax.tree_util.keystr(path)} has "
+                    f"leading dim {shape[0]} not divisible by "
+                    f"{n_stages} pipeline stages")
             return pipe
         return repl
 

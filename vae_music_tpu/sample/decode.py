@@ -165,6 +165,11 @@ def make_decode_fn(
         sample_in_kernel = (bool(fused) and not grid and prime_len == 0
                             and not return_logits and ok_mode and width_ok)
     assert not (sample_in_kernel and not fused)
+    assert not (sample_in_kernel and grid), (
+        "sample_in_kernel needs the depth-UNROLLED kernel; fused='grid' keeps "
+        "the logits head / sampling outside the kernel by design (and the "
+        "unrolled fallback would re-hit the Mosaic compile wall the grid "
+        "kernel exists to avoid) — pass sample_in_kernel=None with 'grid'")
     assert not (sample_in_kernel and (prime_len > 0 or return_logits)), (
         "sample_in_kernel supports the unprimed, no-logits fast paths only")
     bins_p = -(-cfg.bins // 128) * 128  # head/emb padded to the lane size

@@ -44,6 +44,10 @@ class AncestralSampler:
         serve_dtype: Optional[str] = None,   # e.g. 'bfloat16' for the conv stacks
         cache_dtype: str = "float32",        # 'bfloat16' halves decode DMA (serving)
         sample_in_kernel: Optional[bool] = None,  # None = auto (fused fast path)
+        fused=None,                # None = auto; False/True/'grid' forwarded to
+                                   # make_decode_fn ('grid' = the layer-grid
+                                   # kernel for deep/wide geometries)
+        weight_dtype: str = "float32",  # decode weight streaming dtype
     ):
         assert len(prior_cfgs) == vqvae_cfg.levels
         self.vqvae_cfg = vqvae_cfg
@@ -61,6 +65,8 @@ class AncestralSampler:
         self.serve_dtype = serve_dtype
         self.cache_dtype = cache_dtype
         self.sample_in_kernel = sample_in_kernel
+        self.fused = fused
+        self.weight_dtype = weight_dtype
         self._decode_fns: Dict = {}
         self._cond_fns: Dict = {}
         self._label_fns: Dict = {}
@@ -176,6 +182,7 @@ class AncestralSampler:
                 mode=self.mode, temperature=self.temperature,
                 top_k=self.top_k, top_p=self.top_p,
                 cache_dtype=self.cache_dtype,
+                fused=self.fused, weight_dtype=self.weight_dtype,
                 prime_len=prime_len,
                 sample_in_kernel=(self.sample_in_kernel if prime_len == 0
                                   else None))
@@ -389,6 +396,7 @@ class AncestralSampler:
                            temperature=self.temperature, top_k=self.top_k,
                            top_p=self.top_p,
                            cache_dtype=self.cache_dtype,
+                           fused=self.fused, weight_dtype=self.weight_dtype,
                            sample_in_kernel=self.sample_in_kernel)
             for l in range(self.levels)
         ]
