@@ -53,6 +53,57 @@ def main():
     rtt = measure_rtt()
     print(f"rtt {rtt*1e3:.1f} ms; mode {mode}", flush=True)
 
+    if mode == "roofline":
+        # VERDICT r4 task 2: bytes-per-step account + measured utilization
+        # for the wide grid kernel, with a ctx sweep separating the fixed
+        # per-step cost (weight stream + writes + dispatch) from the
+        # history-proportional cost: step_us ~= fixed + slope * hist_mb.
+        from vae_music_tpu.ops.decode_grid_pallas import (
+            grid_decode_chunk, grid_step_byte_account)
+
+        pcfg = get_config("JUKEBOX_SMALL_PRIOR")
+        vcfg = get_config("JUKEBOX_VQVAE")
+        batch = 64
+        nh = batch * pcfg.heads
+        hd = pcfg.attn_width // pcfg.heads
+        patterns = tuple(pcfg.attn_pattern(i) for i in range(pcfg.depth))
+        _, params = init_prior(jax.random.PRNGKey(1), vcfg, pcfg)
+        pts = []
+        for ctx in (512, 2048, 8192):
+            bl = ctx // pcfg.blocks
+            chunk = grid_decode_chunk(bl, hd, nh, 1)
+            acct = grid_step_byte_account(
+                pcfg.depth, batch, pcfg.heads, hd, pcfg.width, pcfg.blocks,
+                bl, chunk, "int8", "bfloat16", patterns)
+            row = {"ctx": ctx, "block_len": bl, "chunk": chunk, **acct}
+            try:
+                fn = make_decode_fn(pcfg, ctx, batch, mode=SampleMode.GUMBEL,
+                                    fused="grid", cache_dtype="int8",
+                                    weight_dtype="bfloat16")
+                m = _measure(fn, params, ctx, batch, rtt)
+                row.update(m)
+                row["hbm_bw_utilization"] = round(
+                    acct["total_mb"] * 2**20
+                    / (m["us_per_step"] * 1e-6) / 819e9, 3)
+                hist_mb = (acct["hist_row_mb"] + acct["hist_prev_row_mb"]
+                           + acct["hist_col_mb"])
+                pts.append((hist_mb, m["us_per_step"]))
+            except Exception as e:
+                row["wall"] = f"{type(e).__name__}: {str(e)[:160]}"
+            print(json.dumps(row), flush=True)
+        if len(pts) >= 2:
+            (x0, y0), (x1, y1) = pts[0], pts[-1]
+            slope = (y1 - y0) / (x1 - x0)              # us per history MB
+            fixed = y0 - slope * x0
+            print(json.dumps({
+                "fit_fixed_us": round(fixed, 1),
+                "fit_hist_us_per_mb": round(slope, 3),
+                "hist_effective_gbs": round(2**20 / (slope * 1e-6) / 1e9, 1),
+                "note": "fixed ~ weight stream + writes + dispatch; "
+                        "hist_effective_gbs vs 819 peak",
+            }), flush=True)
+        return
+
     if mode == "wide":
         pcfg = get_config("JUKEBOX_SMALL_PRIOR")
         vcfg = get_config("JUKEBOX_VQVAE")

@@ -1,0 +1,588 @@
+"""Wide soak: train the Jukebox-scale pair to a REAL artifact and serve the
+FULL wide ancestral chain (VERDICT r4 task 1).
+
+The reference's stated target is the Jukebox SMALL_* scale — its architecture
+dumps (/root/reference/SMALL_PRIOR_model_structuree:2 — 160.8M params;
+SMALL_UPSAMPLER_model_structure:2 — 218M) and its chain semantics
+(/root/reference/Sampler.py:72-109: top prior -> ConditionerNet -> upsampler
+prior -> VQ decode).  Rounds 1-4 trained both wide models (BENCH train rows)
+and served the wide prior ALONE (layer-grid kernel); this script closes the
+loop: it trains JUKEBOX_VQVAE + JUKEBOX_CHAIN_TOP + JUKEBOX_SMALL_UPSAMPLER
+to checkpoints (kill/resume included, scripts/soak.py pattern), then runs the
+COMPLETE wide chain from the trained weights and measures
+``wide_chain_clips_per_sec`` — replacing the implied 230.6 clips/s
+(prior-only token-rate arithmetic) with a measured end-to-end number.
+
+Geometry (JUKEBOX_VQVAE, 262144-sample clips @ 3 kHz, hops 32x/256x):
+  level 1 (top):       ctx 1024,  JUKEBOX_CHAIN_TOP    (width 1024, depth 48)
+  level 0 (upsampler): ctx 8192,  JUKEBOX_SMALL_UPSAMPLER (cond rate 8)
+
+The VQ-VAE trains at sample_length 32768 (the conv stacks are fully
+length-generalizing — no positional state) and serves at 262144; the prior
+phases encode full 262144-sample clips through the frozen trained VQ-VAE.
+
+Phases:
+  python scripts/soak_wide.py vqvae      --steps 2000
+  python scripts/soak_wide.py prior --level 1 --steps 2500   # chain top
+  python scripts/soak_wide.py prior --level 0 --steps 2500   # upsampler
+  python scripts/soak_wide.py generate                        # full chain
+  python scripts/soak_wide.py plots                           # curves + report
+  python scripts/soak_wide.py run                             # orchestrate
+
+Serving config in ``generate`` (the only batch-64 fit in 15.75 GB HBM):
+layer-grid decode kernel (ops/decode_grid_pallas.py), int8 KV caches, bf16
+streamed weights, bf16 prior params + conditioning stream.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import importlib.util
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+# Reuse the flagship soak's loop/orchestration machinery (epoch-seeded
+# resume-deterministic data order, kill/resume subprocess driver).
+_spec = importlib.util.spec_from_file_location(
+    "soak", os.path.join(REPO, "scripts", "soak.py"))
+soak = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(soak)
+
+# Wide corpus: fewer, much longer clips (256 x 262144 samples = 268 MB on
+# device); the VQ-VAE phase uses 32768-sample clips from the same recipe.
+soak.TRAIN_N, soak.VAL_N = 256, 32
+TRAIN_SEED, VAL_SEED = 142, 143
+VQ_SAMPLE_LEN = 32768
+
+
+def _corpus(sample_length: int, val_only: bool = False):
+    from vae_music_tpu.data.audio import synthetic_corpus_device
+
+    xv, yv = synthetic_corpus_device(VAL_SEED, soak.VAL_N, sample_length)
+    if val_only:
+        return None, None, xv, yv
+    x, y = synthetic_corpus_device(TRAIN_SEED, soak.TRAIN_N, sample_length)
+    return x, y, xv, yv
+
+
+def _configs(args):
+    from vae_music_tpu.configs import get_config
+
+    vcfg = get_config("JUKEBOX_VQVAE")
+    if args.sample_length:  # CPU smoke shrink (same code path)
+        vcfg = dataclasses.replace(
+            vcfg, sample_length=args.sample_length).validate()
+    return vcfg
+
+
+def _prior_cfg(level: int, args):
+    from vae_music_tpu.configs import get_config
+
+    cfg = get_config("JUKEBOX_CHAIN_TOP" if level == 1
+                     else "JUKEBOX_SMALL_UPSAMPLER")
+    if args.shrink:  # CPU smoke: same wiring, toy transformer
+        cfg = dataclasses.replace(cfg, width=128, depth=6, remat=False,
+                                  dtype="float32")
+        if cfg.conditioner is not None:
+            cfg = dataclasses.replace(
+                cfg, conditioner=dataclasses.replace(
+                    cfg.conditioner, residual_width=32, residual_depth=2))
+    assert cfg.level == level
+    return cfg
+
+
+def phase_vqvae(args) -> None:
+    import jax
+    import numpy as np
+    import optax
+
+    from vae_music_tpu.models.vqvae import init_vqvae
+    from vae_music_tpu.train.checkpoint import CheckpointManager
+    from vae_music_tpu.train.loop import make_inspect_fn
+    from vae_music_tpu.train.metrics import codebook_usage_report
+    from vae_music_tpu.train.monitors import VQVAEMonitor
+    from vae_music_tpu.train.state import VQVAETrainState
+    from vae_music_tpu.train.vqvae_step import (
+        make_vqvae_eval_step,
+        make_vqvae_train_step,
+    )
+
+    vq_len = args.sample_length or VQ_SAMPLE_LEN
+    cfg = dataclasses.replace(_configs(args), sample_length=vq_len).validate()
+    out = os.path.join(args.out_dir, "vqvae")
+    x, _y, xv, _yv = _corpus(cfg.sample_length)
+
+    params, codebooks = init_vqvae(jax.random.PRNGKey(0), cfg)
+    state = VQVAETrainState.create(params, codebooks, optax.adam(args.lr))
+    ckpt = CheckpointManager(os.path.join(out, "ckpt"))
+    resumed_from = ckpt.latest_step()
+    if resumed_from is not None:
+        state = ckpt.restore(state)
+        print(f"[soak_wide:vqvae] resumed from step {int(state.step)}",
+              flush=True)
+
+    monitor = VQVAEMonitor(
+        out, ckpt_manager=ckpt, eval_fn=make_vqvae_eval_step(cfg),
+        val_batch=xv[:16], inspect_fn=make_inspect_fn(cfg),
+        inspect_batch=xv[:2], ckpt_interval=8, val_interval=4,
+        inspect_interval=32, tensorboard=True)
+    step_fn = make_vqvae_train_step(cfg)
+    state, sps = soak._train_loop(state, step_fn, x, None, monitor, ckpt,
+                                  steps=args.steps, batch=args.batch,
+                                  seed=0, rng=jax.random.PRNGKey(1),
+                                  log_every=args.log_every, labels=False)
+    usage = [codebook_usage_report(np.asarray(cb.N_t))
+             for cb in state.codebooks]
+    soak._phase_summary(out, "vqvae", {
+        "final_step": int(state.step), "steps_per_sec": round(sps, 2),
+        "resumed_from": resumed_from, "sample_length": cfg.sample_length,
+        "codebook_usage": usage,
+    })
+
+
+def phase_prior(args) -> None:
+    import jax
+
+    from vae_music_tpu.train.checkpoint import CheckpointManager
+    from vae_music_tpu.train.monitors import PriorMonitor
+    from vae_music_tpu.train.prior_step import (
+        default_prior_optimizer,
+        init_prior,
+        make_prior_eval_step,
+        make_prior_train_step,
+    )
+    from vae_music_tpu.train.state import PriorTrainState
+
+    vcfg = _configs(args)
+    pcfg = _prior_cfg(args.level, args)
+    out = os.path.join(args.out_dir, f"prior{args.level}")
+
+    # Frozen wide VQ-VAE from the trained checkpoint (prior.py:259 semantics).
+    # Trained at 32768-sample clips, applied to 262144-sample clips — the
+    # conv stacks are length-generalizing (no positional state).
+    restored = CheckpointManager(
+        os.path.join(args.out_dir, "vqvae", "ckpt")).restore_params()
+    vq_params, codebooks = restored["params"], restored["codebooks"]
+    print(f"[soak_wide:prior{args.level}] frozen VQ-VAE from step "
+          f"{int(restored['step'])}", flush=True)
+
+    x, _y, xv, _yv = _corpus(vcfg.sample_length)
+    _, params = init_prior(jax.random.PRNGKey(2 + args.level), vcfg, pcfg)
+    state = PriorTrainState.create(params, default_prior_optimizer(pcfg))
+    ckpt = CheckpointManager(os.path.join(out, "ckpt"))
+    resumed_from = ckpt.latest_step()
+    if resumed_from is not None:
+        state = ckpt.restore(state)
+        print(f"[soak_wide:prior{args.level}] resumed from step "
+              f"{int(state.step)}", flush=True)
+
+    # Genre-less wide priors: labels=None end to end (the JUKEBOX_* configs
+    # carry no label conditioner, matching the reference's SMALL_* dumps).
+    eval_batch = min(8, soak.VAL_N)
+    monitor = PriorMonitor(
+        out, ckpt_manager=ckpt,
+        eval_fn=make_prior_eval_step(vcfg, pcfg, vq_params, codebooks),
+        val_batch=(xv[:eval_batch], None), ckpt_interval=2, val_interval=1,
+        tensorboard=True)
+    step_fn = make_prior_train_step(vcfg, pcfg, vq_params, codebooks)
+    wrapped = lambda st, xb, rng: step_fn(st, xb, None, rng)
+    state, sps = soak._train_loop(state, wrapped, x, None, monitor, ckpt,
+                                  steps=args.steps, batch=args.batch,
+                                  seed=1 + args.level,
+                                  rng=jax.random.PRNGKey(3),
+                                  log_every=args.log_every, labels=False)
+    final_val = {k: float(v) for k, v in monitor.eval_fn(
+        state, xv[:eval_batch], None).items()}
+    soak._phase_summary(out, f"prior{args.level}", {
+        "final_step": int(state.step), "steps_per_sec": round(sps, 2),
+        "resumed_from": resumed_from, "final_val": final_val,
+    })
+
+
+def _build_wide_sampler(args, restored=True):
+    """The wide serving configuration: grid kernel, int8 caches, bf16
+    weights/params/cond-stream — the only batch-64 fit on one chip."""
+    import jax
+    import jax.numpy as jnp
+
+    from vae_music_tpu.models.vqvae import init_vqvae
+    from vae_music_tpu.sample.sampler import AncestralSampler
+    from vae_music_tpu.train.checkpoint import CheckpointManager
+    from vae_music_tpu.train.prior_step import init_prior
+
+    vcfg = _configs(args)
+    pcfgs = [_prior_cfg(0, args), _prior_cfg(1, args)]
+    vq_params, codebooks = init_vqvae(jax.random.PRNGKey(0), vcfg)
+    prior_params = [init_prior(jax.random.PRNGKey(2 + l), vcfg, pcfgs[l])[1]
+                    for l in range(2)]
+    if restored:
+        r = CheckpointManager(
+            os.path.join(args.out_dir, "vqvae", "ckpt")).restore_params()
+        vq_params, codebooks = r["params"], r["codebooks"]
+        for l in range(2):
+            ck = CheckpointManager(
+                os.path.join(args.out_dir, f"prior{l}", "ckpt"))
+            from vae_music_tpu.train.prior_step import default_prior_optimizer
+            from vae_music_tpu.train.state import PriorTrainState
+
+            st = PriorTrainState.create(prior_params[l],
+                                        default_prior_optimizer(pcfgs[l]))
+            prior_params[l] = ck.restore(st).params
+
+    f32_prior_params = list(prior_params)
+    on_tpu = jax.default_backend() == "tpu"
+    if on_tpu:
+        # bf16 prior params halve the resident masters (2x ~190M params);
+        # the decode path streams bf16 weights anyway (weight_dtype below).
+        prior_params = [
+            jax.tree_util.tree_map(
+                lambda a: a.astype(jnp.bfloat16)
+                if hasattr(a, "dtype") and a.dtype == jnp.float32 else a, p)
+            for p in prior_params
+        ]
+    sampler = AncestralSampler(
+        vcfg, pcfgs, prior_params, vq_params, codebooks,
+        cache_dtype="int8" if on_tpu else "float32",
+        serve_dtype="bfloat16" if on_tpu else None,
+        fused="grid" if on_tpu else False,
+        weight_dtype="bfloat16" if on_tpu else "float32",
+        cond_stream_dtype="bfloat16" if on_tpu else None)
+    return sampler, vcfg, f32_prior_params
+
+
+def phase_generate(args) -> None:
+    """Run the COMPLETE wide ancestral chain from the trained weights:
+    top prior (grid kernel) -> ConditionerNet upsample -> upsampler prior
+    (grid kernel, conditioned) -> VQ decode; measure wide_chain_clips_per_sec
+    with spread and a per-stage budget; write the serving artifact."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vae_music_tpu.models.prior import get_cond
+    from vae_music_tpu.models.vqvae import vqvae_encode
+    from vae_music_tpu.train.checkpoint import save_pipeline_artifact
+    from vae_music_tpu.train.metrics import codebook_usage_report, write_wav
+    from vae_music_tpu.utils.profiling import measure_rtt
+
+    out = os.path.join(args.out_dir, "generate")
+    os.makedirs(out, exist_ok=True)
+    sampler, vcfg, f32_params = _build_wide_sampler(args)
+    n = args.n_samples
+    rtt = measure_rtt()
+
+    # --- per-stage walls (compile + warm first) -----------------------------
+    rng = jax.random.PRNGKey(7)
+    zs = sampler.sample_codes(n, rng)          # compiles all stages
+    wav = sampler._vq_decoder(0)(sampler.vqvae_params, sampler.codebooks,
+                                 zs[0])
+    _ = float(jnp.sum(wav))
+
+    def timed(fn, *a, reps=1):
+        t0 = time.time()
+        for _ in range(reps):
+            r = fn(*a)
+        leaf = jax.tree_util.tree_leaves(r)[0]
+        _ = float(jnp.sum(leaf.astype(jnp.float32)))
+        return (time.time() - t0 - rtt) / reps, r
+
+    spec1, spec0 = sampler.specs[1], sampler.specs[0]
+    dt_top, tok1 = timed(
+        lambda: sampler._decoder(1, n)(sampler.prior_params[1],
+                                       jax.random.PRNGKey(8), None, None))
+    z1 = tok1[:, 1:]
+    z_cond = get_cond([None, z1], spec0, 0, spec0.ctx_len)
+    dt_cond, stream = timed(
+        lambda: sampler._cond_upsampler(0)(sampler.prior_params[0], z_cond))
+    dt_bot, tok0 = timed(
+        lambda: sampler._decoder(0, n)(sampler.prior_params[0],
+                                       jax.random.PRNGKey(9), stream, None))
+    dt_dec, _w = timed(
+        lambda: sampler._vq_decoder(0)(sampler.vqvae_params,
+                                       sampler.codebooks, tok0[:, 1:]))
+
+    # --- full chain, 3 runs for spread --------------------------------------
+    clip_s = vcfg.sample_length / 3000.0
+    runs = []
+    for rep in range(3):
+        dt, wav = timed(
+            lambda rep=rep: sampler.sample_audio(n, jax.random.PRNGKey(20 + rep)))
+        runs.append(round(n * clip_s / dt, 1))
+    wav = np.asarray(wav)
+
+    # --- quality evidence ----------------------------------------------------
+    _x, _y, xv, _yv = _corpus(vcfg.sample_length, val_only=True)
+
+    def marginal_entropy(codes, bins):
+        hist = np.bincount(np.asarray(codes).reshape(-1),
+                           minlength=bins).astype(np.float64)
+        p = hist / hist.sum()
+        return float(-(p[p > 0] * np.log(p[p > 0])).sum())
+
+    enc = jax.jit(lambda p, c, x: vqvae_encode(p, c, vcfg, x))
+    zs_data = enc(sampler.vqvae_params, sampler.codebooks, xv[:16])
+    data_entropy = [marginal_entropy(z, vcfg.codebook_size) for z in zs_data]
+    sample_entropy = [marginal_entropy(tok0[:, 1:], vcfg.codebook_size),
+                      marginal_entropy(z1, vcfg.codebook_size)]
+    usage = [codebook_usage_report(np.asarray(cb.N_t))
+             for cb in sampler.codebooks]
+
+    for i in range(min(n, 4)):
+        write_wav(os.path.join(out, f"wide_sample{i}.wav"), wav[i], 3000)
+
+    artifact_dir = os.path.abspath(args.artifact_dir)
+    if os.path.exists(artifact_dir):
+        shutil.rmtree(artifact_dir)
+    save_pipeline_artifact(artifact_dir, sampler.vqvae_params,
+                           sampler.codebooks, f32_params)
+
+    total = dt_top + dt_cond + dt_bot + dt_dec
+    soak._phase_summary(out, "generate", {
+        "n_samples": n,
+        "wide_chain_clips_per_sec": max(runs),
+        "wide_chain_runs": runs,
+        "clip_seconds": round(clip_s, 2),
+        "stage_budget_s": {
+            "top_decode_ctx1024": round(dt_top, 3),
+            "conditioner_upsample": round(dt_cond, 3),
+            "upsampler_decode_ctx8192": round(dt_bot, 3),
+            "vq_decode": round(dt_dec, 3),
+            "sum": round(total, 3),
+        },
+        "top_us_per_step": round(dt_top / spec1.ctx_len * 1e6, 1),
+        "upsampler_us_per_step": round(dt_bot / spec0.ctx_len * 1e6, 1),
+        "serving": {"fused": str(sampler.fused),
+                    "cache_dtype": sampler.cache_dtype,
+                    "weight_dtype": sampler.weight_dtype,
+                    "params": str(jax.tree_util.tree_leaves(
+                        sampler.prior_params[0])[0].dtype),
+                    "cond_stream": str(sampler.cond_stream_dtype)},
+        "data_token_entropy": data_entropy,
+        "sampled_token_entropy": sample_entropy,
+        "codebook_usage": usage,
+        "wav_rms": [float(np.sqrt((wav[i] ** 2).mean()))
+                    for i in range(min(n, 4))],
+        "artifact": artifact_dir,
+    })
+
+
+def phase_plots(args) -> None:
+    """Training curves for the wide run into docs/soak/wide_*.png."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    dest = os.path.join(REPO, "docs", "soak")
+    os.makedirs(dest, exist_ok=True)
+
+    def rows(path):
+        if not os.path.exists(path):
+            return []
+        with open(path) as f:
+            return [json.loads(l) for l in f if l.strip()]
+
+    def curve(ax, rows_, key, label, **kw):
+        pts = [(r["step"], r[key]) for r in rows_ if key in r]
+        if pts:
+            ax.plot([p[0] for p in pts], [p[1] for p in pts], label=label,
+                    **kw)
+
+    fig, axes = plt.subplots(1, 3, figsize=(15, 4))
+    vq = os.path.join(args.out_dir, "vqvae")
+    tr = rows(os.path.join(vq, "vqvae_train.jsonl"))
+    va = rows(os.path.join(vq, "vqvae_val.jsonl"))
+    for key in ("loss", "recon_loss", "spectral_loss"):
+        curve(axes[0], tr, key, key)
+        curve(axes[0], va, f"val_{key}", f"val_{key}", linestyle="--")
+    axes[0].set_title("wide VQ-VAE losses")
+    axes[0].set_yscale("log")
+    axes[0].legend(fontsize=7)
+    for lv in (0, 1):
+        pr = rows(os.path.join(args.out_dir, f"prior{lv}",
+                               "prior_train.jsonl"))
+        pv = rows(os.path.join(args.out_dir, f"prior{lv}",
+                               "prior_val.jsonl"))
+        curve(axes[1], pr, "loss", f"L{lv} train")
+        curve(axes[1], pv, "val_loss", f"L{lv} val", linestyle="--")
+        curve(axes[2], pr, "accuracy", f"L{lv} train")
+        curve(axes[2], pv, "val_accuracy", f"L{lv} val", linestyle="--")
+    axes[1].set_title("wide prior CE loss")
+    axes[2].set_title("wide prior next-token accuracy")
+    for ax in axes:
+        ax.set_xlabel("step")
+        ax.legend(fontsize=8)
+    fig.tight_layout()
+    fig.savefig(os.path.join(dest, "wide_curves.png"), dpi=110)
+    plt.close(fig)
+
+    for sub, name in (("vqvae", "vqvae_summary.json"),
+                      ("prior0", "prior0_summary.json"),
+                      ("prior1", "prior1_summary.json"),
+                      ("generate", "generate_summary.json")):
+        p = os.path.join(args.out_dir, sub, name)
+        if os.path.exists(p):
+            shutil.copy(p, os.path.join(dest, f"wide_{name}"))
+    p = os.path.join(args.out_dir, "SOAK_WIDE_RUN.json")
+    if os.path.exists(p):
+        shutil.copy(p, dest)
+    gen = os.path.join(args.out_dir, "generate")
+    if os.path.isdir(gen):
+        for f in sorted(os.listdir(gen)):
+            if f.endswith(".wav"):
+                shutil.copy(os.path.join(gen, f), dest)
+    print(f"[soak_wide:plots] wrote {dest}", flush=True)
+
+
+def _spawn(phase_args, log_path):
+    """soak._spawn twin targeting THIS script (soak's respawns soak.py)."""
+    os.makedirs(os.path.dirname(log_path), exist_ok=True)
+    logf = open(log_path, "a")
+    return subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__)] + phase_args,
+        stdout=logf, stderr=subprocess.STDOUT, cwd=REPO), logf
+
+
+def _run_with_kill(phase_args, ckpt_dir, kill_after_step, log_path,
+                   poll_s=5.0, timeout_s=7200):
+    """SIGKILL once a checkpoint >= kill_after_step exists, rerun the same
+    command to completion (soak._run_with_kill with the local _spawn)."""
+    record = {"cmd": phase_args, "killed_at_ckpt": None}
+    proc, logf = _spawn(phase_args, log_path)
+    t0 = time.time()
+    try:
+        while proc.poll() is None:
+            step = soak._latest_ckpt_step(ckpt_dir)
+            if step is not None and step >= kill_after_step:
+                time.sleep(2)
+                proc.kill()
+                proc.wait()
+                record["killed_at_ckpt"] = step
+                print(f"[soak_wide:run] SIGKILLed {' '.join(phase_args)} at "
+                      f"ckpt step {step}", flush=True)
+                break
+            if time.time() - t0 > timeout_s:
+                proc.kill()
+                proc.wait()
+                raise RuntimeError(f"phase timed out: {phase_args}")
+            time.sleep(poll_s)
+    finally:
+        logf.close()
+    if record["killed_at_ckpt"] is None and proc.returncode not in (0, None):
+        raise RuntimeError(f"phase failed rc={proc.returncode}: {phase_args} "
+                           f"(see {log_path})")
+    proc, logf = _spawn(phase_args, log_path)
+    rc = proc.wait(timeout=timeout_s)
+    logf.close()
+    if rc != 0:
+        raise RuntimeError(f"resume failed rc={rc}: {phase_args} "
+                           f"(see {log_path})")
+    record["resumed_ok"] = True
+    return record
+
+
+def phase_run(args) -> None:
+    out = os.path.abspath(args.out_dir)
+    os.makedirs(out, exist_ok=True)
+    logd = os.path.join(out, "logs")
+    run = {"started": time.time(), "phases": {}}
+
+    common = ["--out_dir", out, "--log_every", str(args.log_every),
+              "--sample_length", str(args.sample_length),
+              "--shrink" if args.shrink else "--no-shrink"]
+
+    def straight(name, phase_args, timeout_s=7200):
+        t0 = time.time()
+        proc, logf = _spawn(phase_args, os.path.join(logd, f"{name}.log"))
+        rc = proc.wait(timeout=timeout_s)
+        logf.close()
+        if rc != 0:
+            raise RuntimeError(
+                f"{name} failed rc={rc} (see {logd}/{name}.log)")
+        run["phases"][name] = {"rc": rc,
+                               "wall_s": round(time.time() - t0, 1)}
+
+    # A: wide VQ-VAE (straight), B: chain-top prior (straight), C: upsampler
+    # with a genuine mid-run SIGKILL + exact resume, D: full-chain generate.
+    straight("vqvae", ["vqvae", "--steps", str(args.vqvae_steps),
+                       "--batch", str(args.vqvae_batch),
+                       "--lr", str(args.lr)] + common)
+    straight("prior1", ["prior", "--level", "1",
+                        "--steps", str(args.prior_steps),
+                        "--batch", str(args.top_batch)] + common)
+    t0 = time.time()
+    run["phases"]["prior0"] = _run_with_kill(
+        ["prior", "--level", "0", "--steps", str(args.prior_steps),
+         "--batch", str(args.ups_batch)] + common,
+        os.path.join(out, "prior0", "ckpt"),
+        kill_after_step=max(args.prior_steps // 3, 1),
+        log_path=os.path.join(logd, "prior0.log"))
+    run["phases"]["prior0"]["wall_s"] = round(time.time() - t0, 1)
+    straight("generate", ["generate", "--out_dir", out,
+                          "--artifact_dir", args.artifact_dir,
+                          "--n_samples", str(args.n_samples),
+                          "--sample_length", str(args.sample_length)]
+             + (["--shrink"] if args.shrink else []))
+
+    run["finished"] = time.time()
+    run["total_wall_s"] = round(run["finished"] - run["started"], 1)
+    with open(os.path.join(out, "SOAK_WIDE_RUN.json"), "w") as f:
+        json.dump(run, f, indent=2)
+    print(f"[soak_wide:run] DONE {json.dumps(run)}", flush=True)
+    phase_plots(args)
+
+
+def main():
+    if os.environ.get("VMT_SOAK_CPU") == "1":  # CPU smoke-test mode
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    else:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.expanduser("~/.cache/vmt_jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("phase", choices=["vqvae", "prior", "generate", "plots",
+                                     "run"])
+    p.add_argument("--out_dir", default=os.path.join(REPO, "runs",
+                                                     "soak_wide"))
+    p.add_argument("--steps", type=int, default=2000)
+    p.add_argument("--vqvae_steps", type=int, default=2000)
+    p.add_argument("--prior_steps", type=int, default=2500)
+    p.add_argument("--level", type=int, default=1)
+    p.add_argument("--batch", type=int, default=0,
+                   help="phase batch (0 = per-phase default)")
+    p.add_argument("--vqvae_batch", type=int, default=16)
+    p.add_argument("--top_batch", type=int, default=4)
+    p.add_argument("--ups_batch", type=int, default=2)
+    p.add_argument("--lr", type=float, default=3e-4)
+    p.add_argument("--log_every", type=int, default=10)
+    p.add_argument("--n_samples", type=int, default=64)
+    p.add_argument("--artifact_dir",
+                   default=os.path.join(REPO, "artifacts", "soak_wide"))
+    p.add_argument("--sample_length", type=int, default=0,
+                   help="override JUKEBOX_VQVAE sample_length (CPU smoke)")
+    p.add_argument("--shrink", action=argparse.BooleanOptionalAction,
+                   default=False,
+                   help="toy transformer geometry (CPU smoke)")
+    args = p.parse_args()
+    if args.batch == 0:
+        args.batch = {"vqvae": args.vqvae_batch,
+                      "prior": args.top_batch if args.level == 1
+                      else args.ups_batch}.get(args.phase, 4)
+    {"vqvae": phase_vqvae, "prior": phase_prior, "generate": phase_generate,
+     "plots": phase_plots, "run": phase_run}[args.phase](args)
+
+
+if __name__ == "__main__":
+    main()

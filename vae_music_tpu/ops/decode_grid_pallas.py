@@ -81,6 +81,57 @@ def grid_decode_chunk(block_len: int, hd: int, nh_t: int,
     return best or 1
 
 
+def grid_step_byte_account(depth, n, heads, hd, width, blocks, block_len,
+                           chunk, cache_dtype, weight_dtype, patterns,
+                           hbm_bw=819e9):
+    """Position-averaged HBM bytes per decode step (the kernel's roofline).
+
+    Counts exactly what the kernel moves: per-layer streamed weights, the
+    chunk-granular row history (chunks with c*chunk < i), the full previous
+    block for prev_row (skipped at b == 0), the col column slab, int8 scale
+    side caches, the current position's cache writes, and the uc rolling
+    cache.  Returns a dict with the per-step byte split and the implied
+    HBM-bandwidth floor in microseconds at ``hbm_bw`` (v5e: 819 GB/s).
+    """
+    nh = n * heads
+    cache_b = jnp.dtype(cache_dtype).itemsize
+    w_b = jnp.dtype(weight_dtype).itemsize
+    quant = jnp.dtype(cache_dtype) == jnp.dtype(jnp.int8)
+    hh = heads * hd
+    # Per-layer streamed weights: qkv (3, width, 3*hh), out (hh, width),
+    # mlp (width, width) in weight_dtype; biases/LN params f32.
+    mats = 3 * width * 3 * hh + hh * width + width * width
+    vecs = (3 * hh + width + width) * 4 + 4 * width * 4
+    weights = depth * (mats * w_b + vecs)
+    # Row: chunk-granular average of ceil(i/chunk)*chunk rows over i.
+    rows_row = sum(-(-i // chunk) * chunk
+                   for i in range(block_len)) / block_len
+    rows_prev = block_len * (blocks - 1) / blocks      # b == 0 skipped
+    rows_col = blocks                                   # full column slab
+    per_row = hd * nh * cache_b * 2                     # k + v values
+    per_row_scale = (nh * jnp.dtype(SCALE_DTYPE).itemsize * 2
+                     if quant else 0)
+    n_pat = {p: sum(1 for q in patterns if q == p) for p in (0, 1, 2)}
+    hist = {
+        "row": n_pat[0] * rows_row * (per_row + per_row_scale),
+        "prev_row": n_pat[2] * rows_prev * (per_row + per_row_scale),
+        "col": n_pat[1] * rows_col * (per_row + per_row_scale),
+    }
+    writes = depth * (per_row + per_row_scale)          # current position
+    uc = depth * n * 2 * width * 4 * 2                  # read + write
+    x_io = 2 * n * width * 4
+    total = weights + sum(hist.values()) + writes + uc + x_io
+    return {
+        "weights_mb": round(weights / 2**20, 1),
+        "hist_row_mb": round(hist["row"] / 2**20, 1),
+        "hist_prev_row_mb": round(hist["prev_row"] / 2**20, 1),
+        "hist_col_mb": round(hist["col"] / 2**20, 1),
+        "writes_uc_mb": round((writes + uc + x_io) / 2**20, 1),
+        "total_mb": round(total / 2**20, 1),
+        "floor_us": round(total / hbm_bw * 1e6, 1),
+    }
+
+
 def _make_grid_kernel(depth, n, heads, hd, width, blocks, block_len, chunk,
                       cache_dtype, lane_tiles):
     nh = n * heads

@@ -48,6 +48,10 @@ class AncestralSampler:
                                    # make_decode_fn ('grid' = the layer-grid
                                    # kernel for deep/wide geometries)
         weight_dtype: str = "float32",  # decode weight streaming dtype
+        cond_stream_dtype: Optional[str] = None,  # storage dtype of the
+                                   # upsampled conditioning stream (None = f32;
+                                   # 'bfloat16' halves the (N, ctx, width)
+                                   # buffer — 2.1 GB f32 at the wide geometry)
     ):
         assert len(prior_cfgs) == vqvae_cfg.levels
         self.vqvae_cfg = vqvae_cfg
@@ -67,6 +71,7 @@ class AncestralSampler:
         self.sample_in_kernel = sample_in_kernel
         self.fused = fused
         self.weight_dtype = weight_dtype
+        self.cond_stream_dtype = cond_stream_dtype
         self._decode_fns: Dict = {}
         self._cond_fns: Dict = {}
         self._label_fns: Dict = {}
@@ -104,9 +109,10 @@ class AncestralSampler:
                 cfg = dataclasses.replace(self.prior_cfgs[level],
                                           dtype=self.serve_dtype)
                 model = build_fmha_prior(self.vqvae_cfg, cfg)
+            cdt = jnp.dtype(self.cond_stream_dtype or jnp.float32)
             self._cond_fns[level] = jax.jit(
                 lambda p, z: model.apply(p, z, method=FMHAPrior.upsample_cond)
-                .astype(jnp.float32))
+                .astype(cdt))
         return self._cond_fns[level]
 
     def _vq_decoder(self, level: int):
@@ -422,7 +428,8 @@ class AncestralSampler:
                     z_cond = get_cond(zs, spec, 0, spec.ctx_len)
                     x_cond = cond_models[level].apply(
                         prior_params[level], z_cond,
-                        method=FMHAPrior.upsample_cond).astype(jnp.float32)
+                        method=FMHAPrior.upsample_cond).astype(
+                            jnp.dtype(self.cond_stream_dtype or jnp.float32))
                 y_cond = None
                 if y_genre is not None and self.prior_cfgs[level].genre_classes:
                     y_cond = self.models[level].apply(
