@@ -461,17 +461,23 @@ def main():
                         fused=("grid" if wkind == "grid" else False))
                     wout = wfn(wparams, jax.random.PRNGKey(7), None, None)
                     _ = float(jnp.sum(wout.astype(jnp.float32)))
-                    best = float("inf")
-                    for _rep in range(2):
+                    # r5 (VERDICT r4 weak #6): >=3 independent runs, report
+                    # best + the full list so the 3.7x claim carries a spread
+                    # like every other headline.
+                    wruns = []
+                    for _rep in range(3):
                         t0 = time.time()
                         for _ in range(3):
                             wout = wfn(wparams, jax.random.PRNGKey(7),
                                        None, None)
                         _ = float(jnp.sum(wout.astype(jnp.float32)))
-                        best = min(best, (time.time() - t0 - rtt) / 3)
+                        wruns.append((time.time() - t0 - rtt) / 3)
+                    best = min(wruns)
                     wrow = {
                         "wide1024_us_per_step": round(best / wctx * 1e6, 1),
                         "wide1024_tokens_per_sec": round(wb / best * wctx),
+                        "wide1024_runs_tokens_per_sec": [
+                            round(wb / r * wctx) for r in wruns],
                         "wide1024_batch": wb,
                         "wide1024_path": wkind,
                     }
@@ -483,6 +489,61 @@ def main():
                 _PARTIAL["extra"].update(wrow)
         except Exception as e:  # pragma: no cover - VMEM/HBM wall
             _PARTIAL["extra"]["wide1024"] = f"{type(e).__name__}: {e}"[:200]
+
+    # ---- FULL wide ancestral chain from the trained artifact (r5) ----------
+    # The measured replacement for r4's implied 230.6 clips/s: top prior
+    # (grid kernel, ctx 1024) -> ConditionerNet upsample -> upsampler prior
+    # (grid kernel, conditioned, ctx 8192) -> VQ decode, on the weights
+    # scripts/soak_wide.py trained (artifacts/soak_wide).  Levels run as
+    # separate jitted calls — at a ~25 s/batch chain wall, inter-stage
+    # dispatch (~2 ms) is noise, and level-by-level keeps peak HBM at the
+    # level-0 working set (12 GB int8 caches) instead of the sum.
+    wide_art = os.path.join(REPO, "artifacts", "soak_wide")
+    if (os.path.isdir(wide_art)
+            and os.environ.get("VMT_SKIP_WIDE_CHAIN") != "1"
+            and budget_ok("wide_chain")
+            and time.time() - t_start < BENCH_BUDGET_S - 300):
+        try:
+            import gc
+
+            gc.collect()
+            from vae_music_tpu.sample.sampler import AncestralSampler
+            from vae_music_tpu.train.checkpoint import load_pipeline_artifact
+
+            wvq, wcbs, wpps = load_pipeline_artifact(wide_art)
+            wvcfg = get_config("JUKEBOX_VQVAE")
+            wcfgs = [get_config("JUKEBOX_SMALL_UPSAMPLER"),
+                     get_config("JUKEBOX_CHAIN_TOP")]
+            # bf16 prior masters: halves the resident params so the 12 GB
+            # level-0 cache + bf16 cond stream fit beside them.
+            wpps = [jax.tree_util.tree_map(
+                lambda a: a.astype(jnp.bfloat16)
+                if hasattr(a, "dtype") and a.dtype == jnp.float32 else a, p)
+                for p in wpps]
+            wsampler = AncestralSampler(
+                wvcfg, wcfgs, wpps, wvq, wcbs,
+                cache_dtype="int8", serve_dtype="bfloat16", fused="grid",
+                weight_dtype="bfloat16", cond_stream_dtype="bfloat16")
+            wn = 64
+            wav_w = wsampler.sample_audio(wn, jax.random.PRNGKey(11))
+            _ = float(jnp.sum(wav_w))          # compile + warm
+            wclip_s = wvcfg.sample_length / SAMPLE_RATE
+            wc_runs = []
+            for rep in range(3):
+                t0 = time.time()
+                wav_w = wsampler.sample_audio(wn, jax.random.PRNGKey(12 + rep))
+                _ = float(jnp.sum(wav_w))
+                wc_runs.append(round(wn * wclip_s / (time.time() - t0 - rtt),
+                                     1))
+            _PARTIAL["extra"].update({
+                "wide_chain_clips_per_sec": max(wc_runs),
+                "wide_chain_runs": wc_runs,
+                "wide_chain_batch": wn,
+                "wide_chain_clip_seconds": round(wclip_s, 2),
+                "wide_chain_weights": "trained:artifacts/soak_wide",
+            })
+        except Exception as e:  # pragma: no cover - capacity/env specific
+            _PARTIAL["extra"]["wide_chain"] = f"{type(e).__name__}: {e}"[:200]
 
     print(json.dumps(_PARTIAL))
 

@@ -5,6 +5,11 @@ conditioner upsampling, and the VQ-VAE decoder — so optimization effort
 targets the real bottleneck rather than the chain aggregate that bench.py
 reports.
 
+r5 (VERDICT r4 task 4): each stage also gets XLA's own cost analysis (flops
++ bytes accessed), so the table assigns BYTES per stage and a per-stage
+HBM-BW utilization / MFU — the roofline from which "the chain's 52% HBM
+utilization is (or is not) the op-mix ceiling" can be read off directly.
+
 Usage: python scripts/profile_chain.py [batch]
 """
 
@@ -25,6 +30,10 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
 import jax.numpy as jnp
 
 
+V5E_PEAK_BF16_FLOPS = 197e12
+V5E_HBM_BW = 819e9
+
+
 def timeit(fn, *args, iters=20):
     from vae_music_tpu.utils.profiling import measure_rtt
 
@@ -36,6 +45,32 @@ def timeit(fn, *args, iters=20):
         out = fn(*args)
     _ = float(jnp.sum(jax.tree.leaves(out)[0].astype(jnp.float32)))
     return (time.time() - t0 - rtt) / iters, out
+
+
+def stage_cost(fn, *args):
+    """XLA cost analysis (flops, bytes accessed) of a jitted stage."""
+    try:
+        ca = fn.lower(*args).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0))
+        bts = sum(v for k, v in ca.items()
+                  if isinstance(v, (int, float)) and "bytes accessed" in k)
+        return flops, float(bts)
+    except Exception:
+        return None, None
+
+
+_ROWS = []
+
+
+def report(name, dt, flops, bts):
+    util = bts / dt / V5E_HBM_BW if bts else None
+    mfu = flops / dt / V5E_PEAK_BF16_FLOPS if flops else None
+    _ROWS.append((name, dt, flops, bts, util, mfu))
+    print(f"{name:38s} {dt*1e3:8.2f} ms"
+          + (f"  {bts/2**20:9.1f} MB  BW {util*100:5.1f}%" if bts else "")
+          + (f"  MFU {mfu*100:5.2f}%" if flops else ""))
 
 
 def main():
@@ -63,9 +98,10 @@ def main():
         x_cond = None
         if spec.cond_downsample_rate is not None:
             z_cond = get_cond(zs, spec, 0, spec.ctx_len)
-            dt, x_cond = timeit(sampler._cond_upsampler(level),
-                                sampler.prior_params[level], z_cond)
-            print(f"level {level} conditioner upsample: {dt*1e3:8.2f} ms")
+            up = sampler._cond_upsampler(level)
+            dt, x_cond = timeit(up, sampler.prior_params[level], z_cond)
+            report(f"level {level} conditioner upsample",
+                   dt, *stage_cost(up, sampler.prior_params[level], z_cond))
             total += dt
 
         y_cond = None
@@ -77,20 +113,38 @@ def main():
         dt, tokens = timeit(decode_fn, sampler.prior_params[level],
                             jax.random.fold_in(rng, level), x_cond, y_cond)
         zs[level] = tokens[:, 1:]
-        print(f"level {level} decode ({spec.ctx_len:4d} steps): {dt*1e3:8.2f} ms"
-              f"  ({dt / spec.ctx_len * 1e6:6.1f} us/step)")
+        report(f"level {level} decode ({spec.ctx_len} steps, "
+               f"{dt / spec.ctx_len * 1e6:.1f} us/step)",
+               dt, *stage_cost(decode_fn, sampler.prior_params[level],
+                               jax.random.fold_in(rng, level), x_cond,
+                               y_cond))
         total += dt
 
-    dt, wav = timeit(sampler._vq_decoder(0), sampler.vqvae_params,
-                     sampler.codebooks, zs[0])
-    print(f"VQ-VAE decode:               {dt*1e3:8.2f} ms")
+    dec = sampler._vq_decoder(0)
+    dt, wav = timeit(dec, sampler.vqvae_params, sampler.codebooks, zs[0])
+    report("VQ-VAE decode", dt,
+           *stage_cost(dec, sampler.vqvae_params, sampler.codebooks, zs[0]))
     total += dt
-    print(f"sum of stages:               {total*1e3:8.2f} ms")
+    print(f"{'sum of stages':38s} {total*1e3:8.2f} ms")
 
     chain = sampler.compile_chain(batch)
     dt, _ = timeit(chain, jax.random.PRNGKey(2), y)
-    print(f"full fused chain:            {dt*1e3:8.2f} ms  "
-          f"({batch * vcfg.sample_length / 3000 / dt:.0f} clips/s)")
+    report(f"full fused chain ({batch * vcfg.sample_length / 3000 / dt:.0f} "
+           "clips/s)", dt,
+           *stage_cost(chain, jax.random.PRNGKey(2), y))
+
+    # Roofline summary: per stage, the nearer of the two ceilings and the
+    # distance to it — the stage furthest under BOTH ceilings is the only
+    # place remaining chain time could hide.
+    print("\nper-stage roofline position (ceiling = max(BW-bound, MXU-bound"
+          " time)):")
+    for name, dt, flops, bts, util, mfu in _ROWS:
+        if bts is None:
+            continue
+        floor = max(bts / V5E_HBM_BW,
+                    (flops or 0.0) / V5E_PEAK_BF16_FLOPS)
+        print(f"  {name:36s} measured {dt*1e3:7.2f} ms  floor "
+              f"{floor*1e3:7.2f} ms  at {floor/dt*100:5.1f}% of ceiling")
 
 
 if __name__ == "__main__":

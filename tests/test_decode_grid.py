@@ -55,6 +55,10 @@ def test_grid_decode_logits_equal_full_forward(kw, dkw, tol):
     ({"cache_dtype": "bfloat16"}, 0.08),
     ({"cache_dtype": "int8", "grid_chunk": 2}, 0.3),
     ({"cache_dtype": "bfloat16", "weight_dtype": "bfloat16"}, 0.15),
+    # r5 perf levers: int8 streamed weights (per-column scales, dequantized
+    # in-kernel) and bf16 history converts/multiplies.
+    ({"cache_dtype": "int8", "weight_dtype": "int8"}, 0.3),
+    ({"cache_dtype": "int8", "grid_hist_bf16": True, "grid_chunk": 2}, 0.3),
 ])
 def test_grid_decode_reduced_precision_fidelity(dkw, tol):
     """bf16/int8 caches and bf16 streamed weights track the f32 full forward

@@ -45,7 +45,7 @@ from __future__ import annotations
 
 import functools
 import math
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -132,8 +132,25 @@ def grid_step_byte_account(depth, n, heads, hd, width, blocks, block_len,
     }
 
 
+def quantize_weight_cols(w: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Symmetric int8 quantization with one f32 scale per OUTPUT column.
+
+    ``w`` is (..., rows, cols); all leading/contraction axes share the
+    column's scale, so a sum of per-tap matmuls against the quantized taps
+    needs only ONE trailing (1, cols) multiply — applied to the (n, cols)
+    matmul RESULT, not the streamed weights, keeping the in-kernel dequant
+    to a bare int8->bf16 convert.
+    """
+    amax = jnp.max(jnp.abs(w), axis=tuple(range(w.ndim - 1)), keepdims=True)
+    scale = (amax / 127.0).astype(jnp.float32)
+    inv = jnp.where(scale > 0, 1.0 / jnp.where(scale > 0, scale, 1.0), 0.0)
+    q = jnp.clip(jnp.round(w * inv), -127.0, 127.0).astype(jnp.int8)
+    return q, scale.reshape(1, w.shape[-1])
+
+
 def _make_grid_kernel(depth, n, heads, hd, width, blocks, block_len, chunk,
-                      cache_dtype, lane_tiles):
+                      cache_dtype, lane_tiles, w_quant=False,
+                      hist_bf16=False):
     nh = n * heads
     nh_t = nh // lane_tiles
     hh = heads * hd
@@ -159,6 +176,9 @@ def _make_grid_kernel(depth, n, heads, hd, width, blocks, block_len, chunk,
         (qkv_k_ref, qkv_b_ref, out_k_ref, out_b_ref,
          ln1s_ref, ln1b_ref, ln2s_ref, ln2b_ref,
          mlp_k_ref, mlp_b_ref) = (nxt() for _ in range(10))  # VMEM blocks
+        qkv_s_ref = nxt() if w_quant else None     # per-column weight scales
+        out_s_ref = nxt() if w_quant else None
+        mlp_s_ref = nxt() if w_quant else None
         x_out_ref = nxt()
         uc_out_ref = nxt()
         kc_out_ref, vc_out_ref = nxt(), nxt()
@@ -218,17 +238,24 @@ def _make_grid_kernel(depth, n, heads, hd, width, blocks, block_len, chunk,
         uc_li = uc_ref[0]                                   # (n, 2, width)
         u0 = uc_li[:, 0, :]
         u1 = uc_li[:, 1, :]
-        wdt = qkv_k_ref.dtype
+        wdt = jnp.bfloat16 if w_quant else qkv_k_ref.dtype
 
         def wdot(a, w):
             # bf16-streamed weights run the MXU in bf16 with f32 accumulate;
-            # f32 weights keep the f32 path (exactness tests).
+            # f32 weights keep the f32 path (exactness tests).  int8-streamed
+            # weights (w_quant) dequantize with a bare int8->bf16 convert —
+            # the per-column scale is applied to the small (n, cols) matmul
+            # RESULT by the caller, never to the streamed elements.
+            if w_quant:
+                w = w.astype(jnp.bfloat16)
             return jnp.dot(a.astype(wdt), w,
                            preferred_element_type=jnp.float32)
 
         qkv = (wdot(u0, qkv_k_ref[0, 0]) + wdot(u1, qkv_k_ref[0, 1])
-               + wdot(u, qkv_k_ref[0, 2])
-               + qkv_b_ref[0].astype(jnp.float32))
+               + wdot(u, qkv_k_ref[0, 2]))
+        if w_quant:
+            qkv = qkv * qkv_s_ref[0]
+        qkv = qkv + qkv_b_ref[0].astype(jnp.float32)
         uc_out_ref[0, :, 0] = u1
         uc_out_ref[0, :, 1] = u
 
@@ -324,8 +351,20 @@ def _make_grid_kernel(depth, n, heads, hd, width, blocks, block_len, chunk,
                             hist_chunk_dma(c, part, blk).wait()
                         k_h = khist_ref[slot, :chunk]       # (chunk, hd, nh_t)
                         v_h = vhist_ref[slot, :chunk]
-                        lg = jnp.sum(_f32(k_h) * jnp.expand_dims(q_s, 0),
-                                     axis=1) * inv_sqrt_hd
+                        if hist_bf16:
+                            # bf16 history math (perf-lab knob): the int8->
+                            # f32 convert + f32 multiply over every history
+                            # element is the kernel's VPU hot loop; bf16
+                            # converts/multiplies with f32 accumulation test
+                            # whether the VPU runs packed bf16 faster.
+                            lg = jnp.sum(
+                                k_h.astype(jnp.bfloat16)
+                                * jnp.expand_dims(
+                                    q_s.astype(jnp.bfloat16), 0),
+                                axis=1, dtype=jnp.float32) * inv_sqrt_hd
+                        else:
+                            lg = jnp.sum(_f32(k_h) * jnp.expand_dims(q_s, 0),
+                                         axis=1) * inv_sqrt_hd
                         if quant:
                             lg = lg * kshist_ref[slot, :chunk, 0].astype(
                                 jnp.float32)
@@ -349,9 +388,15 @@ def _make_grid_kernel(depth, n, heads, hd, width, blocks, block_len, chunk,
                             # read yielding a NaN bit pattern would survive
                             # p==0 (0*NaN=NaN) without this hard zero.
                             p = jnp.where(keep, p, 0.0)
-                        acc_ref[:] = (acc_ref[:] * alpha
-                                      + jnp.sum(jnp.expand_dims(p, 1)
-                                                * _f32(v_h), axis=0))
+                        if hist_bf16:
+                            acc_ref[:] = (acc_ref[:] * alpha + jnp.sum(
+                                jnp.expand_dims(p.astype(jnp.bfloat16), 1)
+                                * v_h.astype(jnp.bfloat16),
+                                axis=0, dtype=jnp.float32))
+                        else:
+                            acc_ref[:] = (acc_ref[:] * alpha
+                                          + jnp.sum(jnp.expand_dims(p, 1)
+                                                    * _f32(v_h), axis=0))
                         m_ref[:] = m_new
                         # Slot consumed — refill for chunk c+2 (double
                         # buffer; started only after this chunk's values
@@ -423,9 +468,15 @@ def _make_grid_kernel(depth, n, heads, hd, width, blocks, block_len, chunk,
                     + w_cur * v_s)
 
         attn_nh = from_lane_major(attn_ref[:])              # (n, hh)
-        res1 = wdot(attn_nh, out_k_ref[0]) + out_b_ref[0].astype(jnp.float32)
+        res1 = wdot(attn_nh, out_k_ref[0])
+        if w_quant:
+            res1 = res1 * out_s_ref[0]
+        res1 = res1 + out_b_ref[0].astype(jnp.float32)
         h = ln(x + res1, ln2s_ref[0], ln2b_ref[0])
-        res2 = wdot(h, mlp_k_ref[0]) + mlp_b_ref[0].astype(jnp.float32)
+        res2 = wdot(h, mlp_k_ref[0])
+        if w_quant:
+            res2 = res2 * mlp_s_ref[0]
+        res2 = res2 + mlp_b_ref[0].astype(jnp.float32)
         xs_ref[:] = res2 + res1 + x
 
         wk.wait()
@@ -444,7 +495,8 @@ def _make_grid_kernel(depth, n, heads, hd, width, blocks, block_len, chunk,
 @functools.partial(
     jax.jit,
     static_argnames=("depth", "n", "heads", "hd", "width", "blocks",
-                     "block_len", "interpret", "lane_tiles", "chunk"))
+                     "block_len", "interpret", "lane_tiles", "chunk",
+                     "hist_bf16"))
 def grid_decode_step(
     scalars: jnp.ndarray,   # (1, 1) int32: [t]
     pattern_arr: jnp.ndarray,  # (1, depth) int32 attention-pattern table
@@ -456,11 +508,15 @@ def grid_decode_step(
     *,
     kscale=None,
     vscale=None,
+    wscales: Optional[Tuple[jnp.ndarray, ...]] = None,  # int8 weights: per-
+                            # column f32 scales (qkv_s, out_s, mlp_s), each
+                            # (depth, cols) — quantize_weight_cols layout
     depth: int, n: int, heads: int, hd: int, width: int,
     blocks: int, block_len: int,
     interpret=False,
     lane_tiles: int = 0,
     chunk: int = 0,         # 0 = auto (grid_decode_chunk)
+    hist_bf16: bool = False,  # bf16 history converts/multiplies (perf knob)
 ):
     """One decode step over ``grid=(depth,)``: layer li at grid step li.
 
@@ -485,9 +541,12 @@ def grid_decode_step(
         chunk = grid_decode_chunk(block_len, hd, nh_t,
                                   jnp.dtype(cache_dtype).itemsize)
     assert block_len % chunk == 0
+    w_quant = wscales is not None
+    assert w_quant == (jnp.dtype(weights[0].dtype) == jnp.dtype(jnp.int8))
     n_parts = 4 if quant else 2
     kernel = _make_grid_kernel(depth, n, heads, hd, width, blocks, block_len,
-                               chunk, cache_dtype, lane_tiles)
+                               chunk, cache_dtype, lane_tiles,
+                               w_quant=w_quant, hist_bf16=hist_bf16)
 
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
@@ -511,6 +570,11 @@ def grid_decode_step(
     weights = tuple(w.reshape(w.shape[0], 1, w.shape[1]) if w.ndim == 2
                     else w for w in weights)
     w_specs = [per_layer(w.shape) for w in weights]
+    wscale_args = ()
+    if w_quant:
+        wscale_args = tuple(s.reshape(s.shape[0], 1, s.shape[1])
+                            for s in wscales)
+        w_specs += [per_layer(s.shape) for s in wscale_args]
     scale_args = [kscale, vscale] if quant else []
     scale_specs = [any_spec] * len(scale_args)
     scale_shapes = [jax.ShapeDtypeStruct(s.shape, s.dtype)
@@ -572,5 +636,6 @@ def grid_decode_step(
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=100 * 1024 * 1024,
         ) if _HAS_PLTPU and not interpret else None),
-    )(scalars, pattern_arr, x, uc, kc, vc, *scale_args, *weights)
+    )(scalars, pattern_arr, x, uc, kc, vc, *scale_args, *weights,
+      *wscale_args)
     return out

@@ -111,6 +111,7 @@ def make_decode_fn(
     hist_slots: int = 0,        # 0 = kernel default; perf-lab knob
     weight_dtype: str = "float32",  # XLA/grid paths: weight storage dtype
     grid_chunk: int = 0,        # fused="grid": history chunk rows (0 = auto)
+    grid_hist_bf16: bool = False,  # fused="grid": bf16 history math (perf lab)
 ):
     """Build a jitted sampler for one prior level.
 
@@ -175,6 +176,8 @@ def make_decode_fn(
     bins_p = -(-cfg.bins // 128) * 128  # head/emb padded to the lane size
     quant = jnp.dtype(cache_dtype) == jnp.dtype(jnp.int8)
     assert not (quant and not fused), "int8 KV caches are fused-kernel-only"
+    assert not (jnp.dtype(weight_dtype) == jnp.dtype(jnp.int8)
+                and not grid), "int8 streamed weights are grid-kernel-only"
 
     def decode(params, rng, x_cond_stream=None, y_cond=None, prime=None):
         assert (prime is not None) == (prime_len > 0)
@@ -357,8 +360,10 @@ def make_decode_fn(
                 fused_weights,
                 kscale=scales[0] if quant else None,
                 vscale=scales[1] if quant else None,
+                wscales=grid_wscales,
                 depth=depth, n=n_samples, heads=heads, hd=hd, width=width,
                 blocks=blocks, block_len=block_len, chunk=grid_chunk,
+                hist_bf16=grid_hist_bf16,
                 interpret=fused_interpret)
             x, uc, kc, vc = outs[:4]
             scales = tuple(outs[4:])
@@ -418,9 +423,27 @@ def make_decode_fn(
                 jnp.stack([lp["mlp"]["kernel"] for lp in layers]),
                 jnp.stack([lp["mlp"]["bias"] for lp in layers]),
             )
+            grid_wscales = None
             if grid:
                 pattern_arr = jnp.asarray([patterns], jnp.int32)
-                if wdt != jnp.float32:
+                if wdt == jnp.int8:
+                    # int8-streamed weights: per-layer, per-output-column
+                    # symmetric quantization (ops/decode_grid_pallas.py::
+                    # quantize_weight_cols); halves the per-step weight DMA
+                    # again vs bf16, the kernel dequantizes with a bare
+                    # int8->bf16 convert and scales the matmul results.
+                    from vae_music_tpu.ops.decode_grid_pallas import (
+                        quantize_weight_cols)
+
+                    fw = list(fused_weights)
+                    qs = []
+                    for idx in (0, 2, 8):       # qkv_k, out_k, mlp_k
+                        q, s = jax.vmap(quantize_weight_cols)(fw[idx])
+                        fw[idx] = q
+                        qs.append(s.reshape(s.shape[0], s.shape[-1]))
+                    fused_weights = tuple(fw)
+                    grid_wscales = tuple(qs)
+                elif wdt != jnp.float32:
                     # Grid path streams the big matrices per layer from HBM
                     # every step — bf16 storage halves that traffic and runs
                     # the MXU in its native mixed-precision mode (f32 accum).
