@@ -180,3 +180,44 @@ def test_host_local_slice_covers_remainder(monkeypatch):
     monkeypatch.setattr(jax, "process_index", lambda: 0)
     np.testing.assert_array_equal(chunks[0],
                                   pin.host_local_slice(n, seed=7, epoch=3))
+
+
+def test_tp_decode_matches_single_device():
+    """Tensor-parallel decode (parallel/tp_decode.py): KV caches + attention
+    weights head-sharded over a 'model' mesh, one psum per layer — logits
+    and greedy tokens must match the single-device XLA scan path.  This is
+    the capacity lever for wide-geometry serving (the 12 GB batch-64 cache
+    splits over the axis; docs/SERVING.md wide row)."""
+    import dataclasses
+
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from vae_music_tpu.configs import PriorConfig, get_config
+    from vae_music_tpu.models.prior import FMHAPrior, build_fmha_prior
+    from vae_music_tpu.parallel.tp_decode import make_decode_fn_tp
+    from vae_music_tpu.sample.decode import SampleMode, make_decode_fn
+
+    pcfg = PriorConfig(level=0, levels=1, bins=65, width=32, depth=6,
+                       heads=4, blocks=4, attn_stacks=1, genre_classes=7)
+    vcfg = dataclasses.replace(get_config("SMALL_VQ_VAE"), sample_length=1024)
+    model = build_fmha_prior(vcfg, pcfg)
+    ctx, n = 32, 3
+    import jax.random as jr
+
+    from vae_music_tpu.train.prior_step import init_prior
+
+    _, params = init_prior(jr.PRNGKey(0), vcfg, pcfg)
+    y_cond = model.apply(params, jnp.arange(1, n + 1),
+                         method=FMHAPrior.embed_labels)
+    mesh = Mesh(np.array(jax.devices()[:4]), ("model",))
+
+    ref = make_decode_fn(pcfg, ctx, n, fused=False, mode=SampleMode.GREEDY,
+                         return_logits=True)
+    tp = make_decode_fn_tp(pcfg, ctx, n, mesh, mode=SampleMode.GREEDY,
+                           return_logits=True)
+    t0, l0 = ref(params, jr.PRNGKey(7), None, y_cond)
+    t1, l1 = tp(params, jr.PRNGKey(7), None, y_cond)
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l0),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(t0), np.asarray(t1))

@@ -150,7 +150,7 @@ def quantize_weight_cols(w: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
 
 def _make_grid_kernel(depth, n, heads, hd, width, blocks, block_len, chunk,
                       cache_dtype, lane_tiles, w_quant=False,
-                      hist_bf16=False):
+                      hist_bf16=False, hist_slots=2):
     nh = n * heads
     nh_t = nh // lane_tiles
     hh = heads * hd
@@ -309,7 +309,7 @@ def _make_grid_kernel(depth, n, heads, hd, width, blocks, block_len, chunk,
             def hist_chunk_dma(c, part, blk, ti=ti):
                 """Chunk c of history block ``blk`` of THIS layer -> slot
                 c%2 (tile-major cache: one contiguous burst per chunk)."""
-                slot = c % 2
+                slot = c % hist_slots
                 src = hist_srcs[part].at[li, ti, pl.ds(blk, 1),
                                          pl.ds(c * chunk, chunk), :, :]
                 dst = hist_dsts[part].at[pl.ds(slot, 1), pl.ds(0, chunk)]
@@ -336,7 +336,7 @@ def _make_grid_kernel(depth, n, heads, hd, width, blocks, block_len, chunk,
                 m_ref[:] = jnp.full((1, nh_t), neg, jnp.float32)
                 s_ref[:] = jnp.zeros((1, nh_t), jnp.float32)
                 acc_ref[:] = jnp.zeros((hd, nh_t), jnp.float32)
-                for c in range(min(2, n_chunks)):
+                for c in range(min(hist_slots, n_chunks)):
                     @pl.when(c * chunk < hi)
                     def _(c=c):
                         for part in range(n_parts):
@@ -346,7 +346,7 @@ def _make_grid_kernel(depth, n, heads, hd, width, blocks, block_len, chunk,
 
                     @pl.when(cs < hi)
                     def _(c=c, cs=cs):
-                        slot = c % 2
+                        slot = c % hist_slots
                         for part in range(n_parts):
                             hist_chunk_dma(c, part, blk).wait()
                         k_h = khist_ref[slot, :chunk]       # (chunk, hd, nh_t)
@@ -398,15 +398,16 @@ def _make_grid_kernel(depth, n, heads, hd, width, blocks, block_len, chunk,
                                           + jnp.sum(jnp.expand_dims(p, 1)
                                                     * _f32(v_h), axis=0))
                         m_ref[:] = m_new
-                        # Slot consumed — refill for chunk c+2 (double
-                        # buffer; started only after this chunk's values
-                        # were read, matching the unrolled kernel's
-                        # consume-then-refill discipline).
-                        if c + 2 < n_chunks:
-                            @pl.when((c + 2) * chunk < hi)
+                        # Slot consumed — refill for chunk c+hist_slots
+                        # (started only after this chunk's values were read,
+                        # matching the unrolled kernel's consume-then-refill
+                        # discipline; hist_slots=3 keeps 2 DMAs in flight).
+                        if c + hist_slots < n_chunks:
+                            @pl.when((c + hist_slots) * chunk < hi)
                             def _(c=c):
                                 for part in range(n_parts):
-                                    hist_chunk_dma(c + 2, part, blk).start()
+                                    hist_chunk_dma(c + hist_slots, part,
+                                                   blk).start()
 
             @pl.when(pat == 0)
             def _():
@@ -496,7 +497,7 @@ def _make_grid_kernel(depth, n, heads, hd, width, blocks, block_len, chunk,
     jax.jit,
     static_argnames=("depth", "n", "heads", "hd", "width", "blocks",
                      "block_len", "interpret", "lane_tiles", "chunk",
-                     "hist_bf16"))
+                     "hist_bf16", "hist_slots"))
 def grid_decode_step(
     scalars: jnp.ndarray,   # (1, 1) int32: [t]
     pattern_arr: jnp.ndarray,  # (1, depth) int32 attention-pattern table
@@ -517,6 +518,7 @@ def grid_decode_step(
     lane_tiles: int = 0,
     chunk: int = 0,         # 0 = auto (grid_decode_chunk)
     hist_bf16: bool = False,  # bf16 history converts/multiplies (perf knob)
+    hist_slots: int = 2,    # history chunk pipeline depth (perf knob)
 ):
     """One decode step over ``grid=(depth,)``: layer li at grid step li.
 
@@ -546,7 +548,8 @@ def grid_decode_step(
     n_parts = 4 if quant else 2
     kernel = _make_grid_kernel(depth, n, heads, hd, width, blocks, block_len,
                                chunk, cache_dtype, lane_tiles,
-                               w_quant=w_quant, hist_bf16=hist_bf16)
+                               w_quant=w_quant, hist_bf16=hist_bf16,
+                               hist_slots=hist_slots)
 
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
@@ -580,8 +583,8 @@ def grid_decode_step(
     scale_shapes = [jax.ShapeDtypeStruct(s.shape, s.dtype)
                     for s in scale_args]
     scale_scratch = ([
-        pltpu.VMEM((2, chunk, 1, nh_t), SCALE_DTYPE),       # kshist
-        pltpu.VMEM((2, chunk, 1, nh_t), SCALE_DTYPE),       # vshist
+        pltpu.VMEM((hist_slots, chunk, 1, nh_t), SCALE_DTYPE),   # kshist
+        pltpu.VMEM((hist_slots, chunk, 1, nh_t), SCALE_DTYPE),   # vshist
     ] if quant else [])
     scale_col_scratch = ([
         pltpu.VMEM((blocks, 1, 1, nh_t), SCALE_DTYPE),      # kscol
@@ -613,8 +616,8 @@ def grid_decode_step(
         input_output_aliases=aliases,
         scratch_shapes=[
             pltpu.VMEM((n, width), jnp.float32),            # xs residual
-            pltpu.VMEM((2, chunk, hd, nh_t), cache_dtype),  # khist
-            pltpu.VMEM((2, chunk, hd, nh_t), cache_dtype),  # vhist
+            pltpu.VMEM((hist_slots, chunk, hd, nh_t), cache_dtype),  # khist
+            pltpu.VMEM((hist_slots, chunk, hd, nh_t), cache_dtype),  # vhist
         ] + scale_scratch + [
             pltpu.VMEM((blocks, 1, hd, nh_t), cache_dtype),  # kcol
             pltpu.VMEM((blocks, 1, hd, nh_t), cache_dtype),  # vcol
@@ -626,7 +629,7 @@ def grid_decode_step(
             pltpu.VMEM((1, nh_t), jnp.float32),             # s running sum
             pltpu.VMEM((hd, nh_t), jnp.float32),            # acc
             pltpu.VMEM((hd, nh), jnp.float32),              # attn (all tiles)
-            pltpu.SemaphoreType.DMA((2, n_parts)),          # hist chunk sems
+            pltpu.SemaphoreType.DMA((hist_slots, n_parts)),  # hist chunk sems
             pltpu.SemaphoreType.DMA((n_parts,)),            # col sems
             pltpu.SemaphoreType.DMA((n_parts,)),            # write sems
         ],

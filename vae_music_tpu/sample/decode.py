@@ -364,6 +364,7 @@ def make_decode_fn(
                 depth=depth, n=n_samples, heads=heads, hd=hd, width=width,
                 blocks=blocks, block_len=block_len, chunk=grid_chunk,
                 hist_bf16=grid_hist_bf16,
+                hist_slots=(hist_slots or 2),
                 interpret=fused_interpret)
             x, uc, kc, vc = outs[:4]
             scales = tuple(outs[4:])
