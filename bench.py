@@ -450,15 +450,22 @@ def main():
             # HBM enough that 32 no longer fits.
             _, wparams = init_prior(jax.random.PRNGKey(1), wvcfg, wcfg)
             wrow = None
-            for wb, wkind in ((64, "grid"), (32, "xla"), (16, "xla")):
+            # r5: int8 streamed weights are the measured dispatch winner
+            # (2804 -> 2628 us/step, scripts/grid_lab.py + /tmp A/Bs,
+            # fidelity-gated in tests/test_decode_grid.py); bf16 weights are
+            # the first fallback, then the XLA scan path.
+            for wb, wkind in ((64, "grid_w8"), (64, "grid"), (32, "xla"),
+                              (16, "xla")):
                 try:
                     wfn = make_decode_fn(
                         wcfg, wctx, wb, mode=SampleMode.GUMBEL,
-                        cache_dtype=("int8" if wkind == "grid"
+                        cache_dtype=("int8" if wkind.startswith("grid")
                                      else "bfloat16"),
-                        weight_dtype=("bfloat16" if wkind == "grid"
+                        weight_dtype=("int8" if wkind == "grid_w8" else
+                                      "bfloat16" if wkind == "grid"
                                       else "float32"),
-                        fused=("grid" if wkind == "grid" else False))
+                        fused=("grid" if wkind.startswith("grid")
+                               else False))
                     wout = wfn(wparams, jax.random.PRNGKey(7), None, None)
                     _ = float(jnp.sum(wout.astype(jnp.float32)))
                     # r5 (VERDICT r4 weak #6): >=3 independent runs, report

@@ -56,8 +56,11 @@ def main():
     # Fused lane minimum -> 64, and int8 caches (12 GB) are the only
     # capacity-feasible batch-64 config; the XLA path fits bf16 up to 32.
     batches = [int(a) for a in sys.argv[1:]] or ([64] if fused else [16, 32])
-    cache_dtype = "int8" if fused else "bfloat16"
-    weight_dtype = "bfloat16" if fused == "grid" else "float32"
+    cache_dtype = os.environ.get("WIDE_CDT", "int8" if fused else "bfloat16")
+    # r5: int8 streamed weights measured faster than bf16 on the grid path
+    # (2804 -> 2628 us/step); override with WIDE_WDT=bfloat16|float32|int8.
+    weight_dtype = os.environ.get(
+        "WIDE_WDT", "int8" if fused == "grid" else "float32")
     pcfg = get_config("JUKEBOX_SMALL_PRIOR")    # width 1024, depth 48, hd 128
     vcfg = get_config("JUKEBOX_VQVAE")
     ctx = vcfg.z_lengths[0]                      # 8192

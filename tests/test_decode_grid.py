@@ -59,6 +59,8 @@ def test_grid_decode_logits_equal_full_forward(kw, dkw, tol):
     # in-kernel) and bf16 history converts/multiplies.
     ({"cache_dtype": "int8", "weight_dtype": "int8"}, 0.3),
     ({"cache_dtype": "int8", "grid_hist_bf16": True, "grid_chunk": 2}, 0.3),
+    # int4 packed-nibble caches (capacity mode: two values per byte).
+    ({"cache_dtype": "int4", "grid_chunk": 2}, 1.5),
 ])
 def test_grid_decode_reduced_precision_fidelity(dkw, tol):
     """bf16/int8 caches and bf16 streamed weights track the f32 full forward

@@ -150,12 +150,13 @@ def quantize_weight_cols(w: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
 
 def _make_grid_kernel(depth, n, heads, hd, width, blocks, block_len, chunk,
                       cache_dtype, lane_tiles, w_quant=False,
-                      hist_bf16=False, hist_slots=2):
+                      hist_bf16=False, hist_slots=2, quant4=False):
     nh = n * heads
     nh_t = nh // lane_tiles
     hh = heads * hd
     inv_sqrt_hd = 1.0 / math.sqrt(hd)
     quant = jnp.dtype(cache_dtype) == jnp.dtype(jnp.int8)
+    hd2 = hd // 2   # packed-int4 storage rows (two nibbles per int8 byte)
     n_parts = 4 if quant else 2
     n_chunks = block_len // chunk
 
@@ -271,12 +272,33 @@ def _make_grid_kernel(depth, n, heads, hd, width, blocks, block_len, chunk,
             q = jnp.clip(jnp.round(a * inv), -127.0, 127.0).astype(jnp.int8)
             return q, scale
 
+        def _quantize4(a):
+            # int4: [-7, 7] with per-lane scale; the two hd halves pack as
+            # (low nibble = rows [0, hd/2), high nibble = rows [hd/2, hd)).
+            amax = jnp.max(jnp.abs(a), axis=0, keepdims=True)
+            scale = (amax * jnp.float32(1.0 / 7.0)).astype(SCALE_DTYPE)
+            s = scale.astype(jnp.float32)
+            inv = jnp.where(s > 0, 1.0 / jnp.where(s > 0, s, 1.0), 0.0)
+            q = jnp.clip(jnp.round(a * inv), -7.0, 7.0).astype(jnp.int8)
+            lo = jax.lax.slice_in_dim(q, 0, hd2, axis=0)
+            hi = jax.lax.slice_in_dim(q, hd2, hd, axis=0)
+            packed = jnp.bitwise_or(jnp.bitwise_and(lo, jnp.int8(0x0F)),
+                                    jnp.left_shift(hi, 4))
+            return packed, scale
+
+        def _unpack4(a):
+            # (arithmetic shifts sign-extend both nibbles)
+            lo = jnp.right_shift(jnp.left_shift(a, 4), 4)
+            hi = jnp.right_shift(a, 4)
+            return lo.astype(jnp.float32), hi.astype(jnp.float32)
+
         for ti in range(lane_tiles):
             k_seg = k_t[:, ti * nh_t:(ti + 1) * nh_t]
             v_seg = v_t[:, ti * nh_t:(ti + 1) * nh_t]
             if quant:
-                kq, ks_cur = _quantize(k_seg)
-                vq, vs_cur = _quantize(v_seg)
+                qz = _quantize4 if quant4 else _quantize
+                kq, ks_cur = qz(k_seg)
+                vq, vs_cur = qz(v_seg)
                 kt_ref[ti, 0, 0] = kq
                 vt_ref[ti, 0, 0] = vq
                 kst_ref[ti, 0, 0] = ks_cur
@@ -351,7 +373,15 @@ def _make_grid_kernel(depth, n, heads, hd, width, blocks, block_len, chunk,
                             hist_chunk_dma(c, part, blk).wait()
                         k_h = khist_ref[slot, :chunk]       # (chunk, hd, nh_t)
                         v_h = vhist_ref[slot, :chunk]
-                        if hist_bf16:
+                        if quant4:
+                            k_lo, k_hi = _unpack4(k_h)
+                            q_lo = jnp.expand_dims(
+                                jax.lax.slice_in_dim(q_s, 0, hd2, axis=0), 0)
+                            q_hi = jnp.expand_dims(
+                                jax.lax.slice_in_dim(q_s, hd2, hd, axis=0), 0)
+                            lg = (jnp.sum(k_lo * q_lo, axis=1)
+                                  + jnp.sum(k_hi * q_hi, axis=1)) * inv_sqrt_hd
+                        elif hist_bf16:
                             # bf16 history math (perf-lab knob): the int8->
                             # f32 convert + f32 multiply over every history
                             # element is the kernel's VPU hot loop; bf16
@@ -388,7 +418,15 @@ def _make_grid_kernel(depth, n, heads, hd, width, blocks, block_len, chunk,
                             # read yielding a NaN bit pattern would survive
                             # p==0 (0*NaN=NaN) without this hard zero.
                             p = jnp.where(keep, p, 0.0)
-                        if hist_bf16:
+                        if quant4:
+                            v_lo, v_hi = _unpack4(v_h)
+                            pe = jnp.expand_dims(p, 1)
+                            acc_ref[:] = (acc_ref[:] * alpha
+                                          + jnp.concatenate(
+                                              [jnp.sum(pe * v_lo, axis=0),
+                                               jnp.sum(pe * v_hi, axis=0)],
+                                              axis=0))
+                        elif hist_bf16:
                             acc_ref[:] = (acc_ref[:] * alpha + jnp.sum(
                                 jnp.expand_dims(p.astype(jnp.bfloat16), 1)
                                 * v_h.astype(jnp.bfloat16),
@@ -447,8 +485,17 @@ def _make_grid_kernel(depth, n, heads, hd, width, blocks, block_len, chunk,
                     col_dma(part).wait()
                 k_h = kcol_ref[:, 0]                        # (blocks, hd, nh_t)
                 v_h = vcol_ref[:, 0]
-                lg = jnp.sum(_f32(k_h) * jnp.expand_dims(q_s, 0),
-                             axis=1) * inv_sqrt_hd
+                if quant4:
+                    k_lo, k_hi = _unpack4(k_h)
+                    q_lo = jnp.expand_dims(
+                        jax.lax.slice_in_dim(q_s, 0, hd2, axis=0), 0)
+                    q_hi = jnp.expand_dims(
+                        jax.lax.slice_in_dim(q_s, hd2, hd, axis=0), 0)
+                    lg = (jnp.sum(k_lo * q_lo, axis=1)
+                          + jnp.sum(k_hi * q_hi, axis=1)) * inv_sqrt_hd
+                else:
+                    lg = jnp.sum(_f32(k_h) * jnp.expand_dims(q_s, 0),
+                                 axis=1) * inv_sqrt_hd
                 if quant:
                     lg = lg * kscol_ref[:, 0, 0].astype(jnp.float32)
                 lg = jnp.where(blk_ids < b, lg, neg)
@@ -464,9 +511,16 @@ def _make_grid_kernel(depth, n, heads, hd, width, blocks, block_len, chunk,
                 # in the value/scale (0*NaN=NaN).
                 w_blk = jnp.where(blk_ids < b, w_blk, 0.0)
                 w_cur = jax.lax.slice_in_dim(w, blocks, blocks + 1, axis=0)
-                attn_ref[:, ts:ts + nh_t] = (
-                    jnp.sum(jnp.expand_dims(w_blk, 1) * _f32(v_h), axis=0)
-                    + w_cur * v_s)
+                if quant4:
+                    v_lo, v_hi = _unpack4(v_h)
+                    we = jnp.expand_dims(w_blk, 1)
+                    attn_ref[:, ts:ts + nh_t] = jnp.concatenate(
+                        [jnp.sum(we * v_lo, axis=0),
+                         jnp.sum(we * v_hi, axis=0)], axis=0) + w_cur * v_s
+                else:
+                    attn_ref[:, ts:ts + nh_t] = (
+                        jnp.sum(jnp.expand_dims(w_blk, 1) * _f32(v_h), axis=0)
+                        + w_cur * v_s)
 
         attn_nh = from_lane_major(attn_ref[:])              # (n, hh)
         res1 = wdot(attn_nh, out_k_ref[0])
@@ -497,7 +551,7 @@ def _make_grid_kernel(depth, n, heads, hd, width, blocks, block_len, chunk,
     jax.jit,
     static_argnames=("depth", "n", "heads", "hd", "width", "blocks",
                      "block_len", "interpret", "lane_tiles", "chunk",
-                     "hist_bf16", "hist_slots"))
+                     "hist_bf16", "hist_slots", "packed_int4"))
 def grid_decode_step(
     scalars: jnp.ndarray,   # (1, 1) int32: [t]
     pattern_arr: jnp.ndarray,  # (1, depth) int32 attention-pattern table
@@ -519,6 +573,8 @@ def grid_decode_step(
     chunk: int = 0,         # 0 = auto (grid_decode_chunk)
     hist_bf16: bool = False,  # bf16 history converts/multiplies (perf knob)
     hist_slots: int = 2,    # history chunk pipeline depth (perf knob)
+    packed_int4: bool = False,  # int8 caches hold two int4 nibbles per byte
+                            # (hd axis halved) — the batch-128 capacity mode
 ):
     """One decode step over ``grid=(depth,)``: layer li at grid step li.
 
@@ -531,6 +587,9 @@ def grid_decode_step(
     cache_dtype = kc.dtype
     quant = jnp.dtype(cache_dtype) == jnp.dtype(jnp.int8)
     assert quant == (kscale is not None) == (vscale is not None)
+    assert not (packed_int4 and not quant), "int4 packs into int8 storage"
+    hd_store = hd // 2 if packed_int4 else hd
+    assert kc.shape[4] == hd_store, (kc.shape, hd_store)
     if not interpret:
         assert nh % LANE == 0, (
             f"fused decode needs batch*heads % {LANE} == 0, got {nh}")
@@ -540,7 +599,7 @@ def grid_decode_step(
     assert kc.shape[1] == lane_tiles and nh % lane_tiles == 0
     nh_t = nh // lane_tiles
     if chunk == 0:
-        chunk = grid_decode_chunk(block_len, hd, nh_t,
+        chunk = grid_decode_chunk(block_len, hd_store, nh_t,
                                   jnp.dtype(cache_dtype).itemsize)
     assert block_len % chunk == 0
     w_quant = wscales is not None
@@ -549,7 +608,7 @@ def grid_decode_step(
     kernel = _make_grid_kernel(depth, n, heads, hd, width, blocks, block_len,
                                chunk, cache_dtype, lane_tiles,
                                w_quant=w_quant, hist_bf16=hist_bf16,
-                               hist_slots=hist_slots)
+                               hist_slots=hist_slots, quant4=packed_int4)
 
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
@@ -616,14 +675,14 @@ def grid_decode_step(
         input_output_aliases=aliases,
         scratch_shapes=[
             pltpu.VMEM((n, width), jnp.float32),            # xs residual
-            pltpu.VMEM((hist_slots, chunk, hd, nh_t), cache_dtype),  # khist
-            pltpu.VMEM((hist_slots, chunk, hd, nh_t), cache_dtype),  # vhist
+            pltpu.VMEM((hist_slots, chunk, hd_store, nh_t), cache_dtype),
+            pltpu.VMEM((hist_slots, chunk, hd_store, nh_t), cache_dtype),
         ] + scale_scratch + [
-            pltpu.VMEM((blocks, 1, hd, nh_t), cache_dtype),  # kcol
-            pltpu.VMEM((blocks, 1, hd, nh_t), cache_dtype),  # vcol
+            pltpu.VMEM((blocks, 1, hd_store, nh_t), cache_dtype),  # kcol
+            pltpu.VMEM((blocks, 1, hd_store, nh_t), cache_dtype),  # vcol
         ] + scale_col_scratch + [
-            pltpu.VMEM((lane_tiles, 1, 1, hd, nh_t), cache_dtype),  # kt
-            pltpu.VMEM((lane_tiles, 1, 1, hd, nh_t), cache_dtype),  # vt
+            pltpu.VMEM((lane_tiles, 1, 1, hd_store, nh_t), cache_dtype),
+            pltpu.VMEM((lane_tiles, 1, 1, hd_store, nh_t), cache_dtype),
         ] + scale_staging + [
             pltpu.VMEM((1, nh_t), jnp.float32),             # m running max
             pltpu.VMEM((1, nh_t), jnp.float32),             # s running sum

@@ -174,10 +174,18 @@ def make_decode_fn(
     assert not (sample_in_kernel and (prime_len > 0 or return_logits)), (
         "sample_in_kernel supports the unprimed, no-logits fast paths only")
     bins_p = -(-cfg.bins // 128) * 128  # head/emb padded to the lane size
+    # "int4": packed-nibble caches (two int4 per int8 byte along hd) — the
+    # grid kernel's capacity mode; storage arrays are int8 with hd halved.
+    quant4 = str(cache_dtype) == "int4"
+    if quant4:
+        cache_dtype = "int8"
     quant = jnp.dtype(cache_dtype) == jnp.dtype(jnp.int8)
     assert not (quant and not fused), "int8 KV caches are fused-kernel-only"
+    assert not (quant4 and not grid), "int4 KV caches are grid-kernel-only"
+    assert not (quant4 and hd % 2), "int4 packing needs an even head dim"
     assert not (jnp.dtype(weight_dtype) == jnp.dtype(jnp.int8)
                 and not grid), "int8 streamed weights are grid-kernel-only"
+    hd_store = hd // 2 if quant4 else hd
 
     def decode(params, rng, x_cond_stream=None, y_cond=None, prime=None):
         assert (prime is not None) == (prime_len > 0)
@@ -365,6 +373,7 @@ def make_decode_fn(
                 blocks=blocks, block_len=block_len, chunk=grid_chunk,
                 hist_bf16=grid_hist_bf16,
                 hist_slots=(hist_slots or 2),
+                packed_int4=quant4,
                 interpret=fused_interpret)
             x, uc, kc, vc = outs[:4]
             scales = tuple(outs[4:])
@@ -459,11 +468,12 @@ def make_decode_fn(
                 HIST_SLOTS, decode_cache_lane_tiles, decode_cache_shape)
 
             hslots = hist_slots or HIST_SLOTS
-            lt = decode_cache_lane_tiles(nh, block_len, hd,
+            lt = decode_cache_lane_tiles(nh, block_len, hd_store,
                                          jnp.dtype(cache_dtype), blocks,
                                          hslots)
             kc0 = jnp.zeros(
-                decode_cache_shape(depth, blocks, block_len, hd, nh, lt),
+                decode_cache_shape(depth, blocks, block_len, hd_store, nh,
+                                   lt),
                 jnp.dtype(cache_dtype))
             vc0 = jnp.zeros_like(kc0)
             if quant:
