@@ -18,3 +18,21 @@ jax.config.update(
     "jax_compilation_cache_dir",
     os.path.expanduser("~/.cache/vmt_jax_cache_cpu"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+
+# Build the native C++ audio loader if its .so is missing (it is a build
+# artifact, not committed) so the native-loader tests run instead of
+# skipping on a fresh checkout.
+def _ensure_native_loader():
+    import subprocess
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    so = os.path.join(repo, "runtime", "build", "libaudio_loader.so")
+    if not os.path.exists(so):
+        try:
+            subprocess.run(["make", "-C", os.path.join(repo, "runtime")],
+                           check=False, capture_output=True, timeout=120)
+        except Exception:
+            pass  # tests fall back to their skipif guard
+
+
+_ensure_native_loader()
