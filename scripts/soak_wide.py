@@ -187,10 +187,16 @@ def phase_prior(args) -> None:
     # Genre-less wide priors: labels=None end to end (the JUKEBOX_* configs
     # carry no label conditioner, matching the reference's SMALL_* dumps).
     eval_batch = min(8, soak.VAL_N)
+    # ckpt_interval is in EPOCHS (64-128 steps each here).  The wide prior
+    # state is ~2.3 GB (192M params + Adam moments) and a device->host Orbax
+    # save over the tunneled TPU takes minutes — every-2-epochs (the
+    # flagship cadence) measured 4 min of checkpointing per 5 s of training.
+    # Every 8 epochs (~512 steps) keeps kill/resume granularity without
+    # drowning the run in checkpoint I/O.
     monitor = PriorMonitor(
         out, ckpt_manager=ckpt,
         eval_fn=make_prior_eval_step(vcfg, pcfg, vq_params, codebooks),
-        val_batch=(xv[:eval_batch], None), ckpt_interval=2, val_interval=1,
+        val_batch=(xv[:eval_batch], None), ckpt_interval=8, val_interval=2,
         tensorboard=True)
     step_fn = make_prior_train_step(vcfg, pcfg, vq_params, codebooks)
     wrapped = lambda st, xb, rng: step_fn(st, xb, None, rng)
