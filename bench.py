@@ -513,6 +513,9 @@ def main():
         try:
             import gc
 
+            # Free the wide1024 section's 12 GB of caches/params before the
+            # chain allocates its own.
+            wfn = wout = wparams = None
             gc.collect()
             from vae_music_tpu.sample.sampler import AncestralSampler
             from vae_music_tpu.train.checkpoint import load_pipeline_artifact

@@ -11,12 +11,16 @@ implied clips/s per batch size, or the documented VMEM/HBM wall.
 
 Usage: WIDE_FUSED={grid|1|0} python scripts/wide_lab.py [batches...]
 
-Measured 2026-08-19 (one v5e chip):
+Measured 2026-08-19 (one v5e chip), r5 update 2026-08-20:
   * WIDE_FUSED=grid (default): the r4 LAYER-GRID kernel
     (ops/decode_grid_pallas.py — depth as a sequential grid dimension,
-    bf16 weights streamed per layer, online-softmax chunked history, int8
-    caches): compiles in ~71 s and serves batch 64 (12 GB of caches) at
-    2960 us/step — 21,618 tok/s, 230.6 one-second-clips/s.
+    weights streamed per layer, online-softmax chunked history, int8
+    caches): r4 bf16 weights 2960 us/step (21.6k tok/s); r5 with the
+    prev_row b==0 skip + int8 streamed weights (now the default)
+    2628 us/step — 24.3k tok/s at batch 64.  WIDE_CDT=int4 packs two
+    nibbles per cache byte (batch 128 fits one chip).  Roofline and the
+    VPU-bound ceiling analysis: scripts/grid_lab.py roofline +
+    docs/SERVING.md.
   * WIDE_FUSED=1: the depth-UNROLLED kernel (decode_pallas.py) is a Mosaic
     COLD-COMPILE WALL here — it emits all 48 layers into one program and a
     `timeout 2400` compile died unfinished; its batch-64 lane minimum would

@@ -38,11 +38,25 @@ from vae_music_tpu.train.state import PriorTrainState
 
 
 def default_prior_optimizer(
-    cfg: PriorConfig, accum_steps: int = 1
+    cfg: PriorConfig, accum_steps: int = 1,
+    clip_norm: Optional[float] = None, lr_scale: float = 1.0,
 ) -> optax.GradientTransformation:
-    """Adam + Noam warmup (multi_head_attention.py:82-101)."""
-    tx = optax.adam(noam_schedule(cfg.width, cfg.warmup_steps),
-                    b1=0.9, b2=0.98, eps=1e-9)
+    """Adam + Noam warmup (multi_head_attention.py:82-101).
+
+    ``clip_norm``: optional global-norm gradient clipping ahead of Adam.
+    Off by default (the reference trains un-clipped); the wide
+    ctx-8192 upsampler at batch 2 needs it — un-clipped, its loss spiked
+    past 30 nats and went NaN at step 2330 as the Noam warmup LR rose
+    (runs/soak_wide r5 post-mortem; scripts/soak_wide.py passes 1.0).
+    ``lr_scale`` multiplies the Noam schedule (peak LR control without
+    touching ``warmup_steps``' shape).
+    """
+    sched = noam_schedule(cfg.width, cfg.warmup_steps)
+    lr = (sched if lr_scale == 1.0
+          else (lambda step: lr_scale * sched(step)))
+    tx = optax.adam(lr, b1=0.9, b2=0.98, eps=1e-9)
+    if clip_norm is not None:
+        tx = optax.chain(optax.clip_by_global_norm(clip_norm), tx)
     return with_grad_accumulation(tx, accum_steps)
 
 
