@@ -535,13 +535,19 @@ def main():
                 cache_dtype="int8", serve_dtype="bfloat16", fused="grid",
                 weight_dtype="bfloat16", cond_stream_dtype="bfloat16")
             wn = 64
-            wav_w = wsampler.sample_audio(wn, jax.random.PRNGKey(11))
+            # Staged (sync+free between stages) — the all-async sample_audio
+            # holds every stage's working set live at once and OOMs at this
+            # geometry (r5 wide soak); staged is token-identical per rng
+            # (test_sample_audio_staged_equals_async).
+            wav_w = wsampler.sample_audio_staged(wn, jax.random.PRNGKey(11))
             _ = float(jnp.sum(wav_w))          # compile + warm
             wclip_s = wvcfg.sample_length / SAMPLE_RATE
             wc_runs = []
             for rep in range(3):
+                wav_w = None
                 t0 = time.time()
-                wav_w = wsampler.sample_audio(wn, jax.random.PRNGKey(12 + rep))
+                wav_w = wsampler.sample_audio_staged(
+                    wn, jax.random.PRNGKey(12 + rep))
                 _ = float(jnp.sum(wav_w))
                 wc_runs.append(round(wn * wclip_s / (time.time() - t0 - rtt),
                                      1))

@@ -261,17 +261,28 @@ def _build_wide_sampler(args, restored=True):
                 os.path.join(args.out_dir, f"prior{l}", "ckpt")
             ).restore_params()["params"]
 
-    f32_prior_params = list(prior_params)
     on_tpu = jax.default_backend() == "tpu"
     if on_tpu:
-        # bf16 prior params halve the resident masters (2x ~190M params);
-        # the decode path streams bf16 weights anyway (weight_dtype below).
-        prior_params = [
+        # The f32 masters exist only for the saved artifact — pull them to
+        # HOST numpy and free the device copies, then keep bf16 working
+        # params on device.  Leaving the 2x ~770 MB f32 masters resident
+        # alongside the bf16 copies, both geometries' KV caches, the folded
+        # grid-kernel weights and the ctx-8192 cond stream OOMed the chain
+        # at batch 64 (RESOURCE_EXHAUSTED in sample_codes, r5 run log).
+        f32_prior_params = [jax.device_get(p) for p in prior_params]
+        bf16 = [
             jax.tree_util.tree_map(
                 lambda a: a.astype(jnp.bfloat16)
                 if hasattr(a, "dtype") and a.dtype == jnp.float32 else a, p)
             for p in prior_params
         ]
+        for p in prior_params:
+            for leaf in jax.tree_util.tree_leaves(p):
+                if hasattr(leaf, "delete"):
+                    leaf.delete()
+        prior_params = bf16
+    else:
+        f32_prior_params = list(prior_params)
     sampler = AncestralSampler(
         vcfg, pcfgs, prior_params, vq_params, codebooks,
         cache_dtype="int8" if on_tpu else "float32",
@@ -333,29 +344,53 @@ def phase_generate(args) -> None:
         lambda: sampler._vq_decoder(0)(sampler.vqvae_params,
                                        sampler.codebooks, tok0[:, 1:]))
 
-    # --- full chain, 3 runs for spread --------------------------------------
-    clip_s = vcfg.sample_length / 3000.0
-    runs = []
-    for rep in range(3):
-        dt, wav = timed(
-            lambda rep=rep: sampler.sample_audio(n, jax.random.PRNGKey(20 + rep)))
-        runs.append(round(n * clip_s / dt, 1))
-    wav = np.asarray(wav)
-
-    # --- quality evidence ----------------------------------------------------
-    _x, _y, xv, _yv = _corpus(vcfg.sample_length, val_only=True)
-
     def marginal_entropy(codes, bins):
         hist = np.bincount(np.asarray(codes).reshape(-1),
                            minlength=bins).astype(np.float64)
         p = hist / hist.sum()
         return float(-(p[p > 0] * np.log(p[p > 0])).sum())
 
+    # Entropy from the stage-timing tokens, then FREE the stage intermediates
+    # (the ctx-8192 cond stream alone is ~1 GB at batch 64) before the chain
+    # runs re-allocate their own internals — peak HBM headroom at this
+    # geometry is ~2 GB.
+    sample_entropy = [marginal_entropy(tok0[:, 1:], vcfg.codebook_size),
+                      marginal_entropy(z1, vcfg.codebook_size)]
+    for a in (tok1, z1, z_cond, stream, tok0, _w, zs, wav):
+        for leaf in jax.tree_util.tree_leaves(a):
+            if hasattr(leaf, "delete"):
+                leaf.delete()
+    del tok1, z1, z_cond, stream, tok0, _w, zs
+
+    # --- full chain, 3 runs for spread --------------------------------------
+    # `sample_audio_staged`: syncs + frees between stages.  The all-async
+    # `sample_audio` dispatch holds every stage's working set live at once
+    # and OOMs at this geometry (r5 run log), while the staged residency
+    # fits — 4 extra RTTs (~8 ms) against a ~25 s chain wall.  Same
+    # ancestral chain, token-identical per rng
+    # (test_sample_audio_staged_equals_async), measured end to end.
+    def _free(*arrays):
+        for a in arrays:
+            for leaf in jax.tree_util.tree_leaves(a):
+                if hasattr(leaf, "delete"):
+                    leaf.delete()
+
+    clip_s = vcfg.sample_length / 3000.0
+    runs = []
+    for rep in range(3):
+        t0 = time.time()
+        wav_dev = sampler.sample_audio_staged(n, jax.random.PRNGKey(20 + rep))
+        dt = time.time() - t0 - rtt
+        runs.append(round(n * clip_s / dt, 1))
+        wav = np.asarray(wav_dev)
+        _free(wav_dev)
+
+    # --- quality evidence ----------------------------------------------------
+    _x, _y, xv, _yv = _corpus(vcfg.sample_length, val_only=True)
+
     enc = jax.jit(lambda p, c, x: vqvae_encode(p, c, vcfg, x))
     zs_data = enc(sampler.vqvae_params, sampler.codebooks, xv[:16])
     data_entropy = [marginal_entropy(z, vcfg.codebook_size) for z in zs_data]
-    sample_entropy = [marginal_entropy(tok0[:, 1:], vcfg.codebook_size),
-                      marginal_entropy(z1, vcfg.codebook_size)]
     usage = [codebook_usage_report(np.asarray(cb.N_t))
              for cb in sampler.codebooks]
 
@@ -490,11 +525,16 @@ def phase_report(args) -> None:
     p1 = load("prior1", "prior1_summary.json") or {}
     gen = load("generate", "generate_summary.json") or {}
 
-    def kr(ph):
+    def kr(ph, summary):
         r = run["phases"].get(ph, {})
         if r.get("killed_at_ckpt") is not None:
             return (f"SIGKILLed at ckpt step {r['killed_at_ckpt']}, "
                     f"auto-resumed to completion")
+        # Orchestrator record absent (e.g. it was itself killed): the phase
+        # summary's resumed_from is ground truth for a mid-run kill+resume.
+        if summary.get("resumed_from") is not None:
+            return (f"killed mid-run, auto-resumed from ckpt step "
+                    f"{summary['resumed_from']} to completion")
         return "ran straight through"
 
     bud = gen.get("stage_budget_s", {})
@@ -523,13 +563,13 @@ def phase_report(args) -> None:
                         ("chain-top prior (ctx 1024)", p1, "prior1"),
                         ("upsampler prior (ctx 8192, cond)", p0, "prior0")):
         lines.append(f"| {name} | {s.get('final_step', '?')} "
-                     f"| {s.get('steps_per_sec', '?')} | {kr(ph)} |")
+                     f"| {s.get('steps_per_sec', '?')} | {kr(ph, s)} |")
     lines += [
         "",
         "Stability post-mortem: the first upsampler attempt (un-clipped Adam",
         "+ Noam, the chain-top recipe) diverged — loss spiked 8 -> 35 nats",
-        "from step ~600 as warmup LR rose, NaN at step 2330",
-        "(runs/soak_wide/logs/prior0_diverged_r5.log).  Global-norm grad",
+        "from step ~600 as warmup LR rose, NaN at step 2330 (r5 session;",
+        "post-mortem in `phase_prior`'s clip_norm note).  Global-norm grad",
         "clipping at 1.0 (`default_prior_optimizer(clip_norm=1.0)`) fixed",
         "it; the batch-2 ctx-8192 conditioned phase has the noisiest",
         "gradients of the pipeline.",

@@ -149,6 +149,27 @@ def test_ancestral_sampler_chain():
     assert wav2.shape == (2, vcfg.sample_length, 1)
 
 
+def test_sample_audio_staged_equals_async():
+    """The peak-HBM-bounded staged chain must produce the SAME audio as the
+    all-async `sample_audio` for the same rng — it is the same ancestral
+    chain with syncs and frees between stages (r5 wide-soak OOM fix)."""
+    vcfg = _vqvae_cfg()
+    scfg = SamplerConfig(vqvae=vcfg, prior_width=32, prior_depth=3,
+                         prior_heads=2, prior_blocks=4, genre_classes=10,
+                         conditioner=ConditionerConfig(residual_depth=2))
+    sampler = AncestralSampler.from_config(scfg, jax.random.PRNGKey(0))
+    y = jnp.array([0, 1])
+    wav_async = np.asarray(
+        sampler.sample_audio(2, jax.random.PRNGKey(9), y_genre=y))
+    wav_staged = np.asarray(
+        sampler.sample_audio_staged(2, jax.random.PRNGKey(9), y_genre=y))
+    np.testing.assert_array_equal(wav_async, wav_staged)
+    # unconditional variant too
+    np.testing.assert_array_equal(
+        np.asarray(sampler.sample_audio(2, jax.random.PRNGKey(10))),
+        np.asarray(sampler.sample_audio_staged(2, jax.random.PRNGKey(10))))
+
+
 @pytest.mark.slow
 def test_compile_chain_matches_stepwise_sampler():
     """The single-jit serving chain must equal the stepwise sample_audio."""

@@ -178,6 +178,70 @@ class AncestralSampler:
         return self._vq_decoder(decode_level)(self.vqvae_params, self.codebooks,
                                               zs[decode_level])
 
+    def sample_audio_staged(
+        self,
+        n_samples: int,
+        rng: jax.Array,
+        y_genre: Optional[jnp.ndarray] = None,
+        decode_level: int = 0,
+    ) -> jnp.ndarray:
+        """Peak-HBM-bounded full chain — identical ancestral semantics (and
+        identical tokens for a given ``rng``) to :meth:`sample_audio`, but
+        every stage is dispatched, blocked on, and its consumed inputs are
+        freed before the next stage allocates.
+
+        ``sample_audio``'s all-async dispatch holds every stage's working set
+        live at once; at the Jukebox-wide geometry (level-1 caches + the
+        ctx-8192 cond stream + level-0's 12 GB int8 caches) that exhausts the
+        15.75 GB HBM while this stage-wise residency fits (measured, r5 wide
+        soak).  Costs one host RTT per stage (~2 ms each) against a
+        multi-second chain wall — use it whenever the chain working set is
+        within ~2x of HBM.
+        """
+        assert self.vqvae_params is not None and self.codebooks is not None
+
+        def free(*arrays):
+            for a in arrays:
+                for leaf in jax.tree_util.tree_leaves(a):
+                    if hasattr(leaf, "delete"):
+                        leaf.delete()
+
+        zs: List[Optional[jnp.ndarray]] = [None] * self.levels
+        for level in reversed(range(self.levels)):
+            spec = self.specs[level]
+            rng, step_rng = jax.random.split(rng)
+
+            x_cond_stream = None
+            if spec.cond_downsample_rate is not None:
+                z_cond = get_cond(zs, spec, 0, spec.ctx_len)
+                x_cond_stream = self._cond_upsampler(level)(
+                    self.prior_params[level], z_cond)
+                jax.block_until_ready(x_cond_stream)
+                free(z_cond)
+                # The upper level's codes are folded into the stream; free
+                # them unless they are the level we decode to audio.
+                if level + 1 != decode_level and zs[level + 1] is not None:
+                    free(zs[level + 1])
+                    zs[level + 1] = None
+
+            y_cond = None
+            if (y_genre is not None
+                    and self.prior_cfgs[level].genre_classes is not None):
+                y_cond = self._label_embedder(level)(
+                    self.prior_params[level], y_genre)
+
+            tokens = self._decoder(level, n_samples)(
+                self.prior_params[level], step_rng, x_cond_stream, y_cond)
+            jax.block_until_ready(tokens)
+            if x_cond_stream is not None:
+                free(x_cond_stream)
+            zs[level] = tokens[:, 1:]
+
+        wav = self._vq_decoder(decode_level)(
+            self.vqvae_params, self.codebooks, zs[decode_level])
+        jax.block_until_ready(wav)
+        return wav
+
     # -- arbitrary-length generation (beyond one context window) -------------
 
     def _windowed_decoder(self, level: int, n_samples: int, prime_len: int):
